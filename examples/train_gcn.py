@@ -1,0 +1,65 @@
+"""CLI training driver — the framework's analogue of profiling_gcn.py.
+
+Usage:
+    python examples/train_gcn.py -g synth-pubmed -k 16 -i 100 \
+        --variant v4 [--reorder rabbit] [--adj coo|dense|panel|auto]
+
+Prints loss curve, per-phase timing report, and final test accuracy —
+mirroring the reference driver's CLI surface (profiling_gcn.py:85-90) and
+its timing printouts (gcn6.py:401-440).
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Train a 2-layer GCN on TPU")
+    ap.add_argument("-g", "--graph", default="synth-small")
+    ap.add_argument("-k", "--hidden", type=int, default=16)
+    ap.add_argument("-i", "--train-iters", type=int, default=100)
+    ap.add_argument("--variant", default="v4",
+                    choices=["v1", "v2", "v3", "v4", "v5", "v6"])
+    ap.add_argument("--adj", default=None,
+                    help="adjacency representation: dense|coo|panel|auto")
+    ap.add_argument("--reorder", default=None,
+                    help="identity|degree|dfs|rcm|gorder|rabbit")
+    ap.add_argument("--with-val", action="store_true")
+    ap.add_argument("--seed", type=int, default=15)  # profiling_gcn.py:76-80
+    ap.add_argument("--verbose", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import jax
+
+    from gcn_tpu.data import get_dataset
+    from gcn_tpu.models import GCN
+
+    print(f"jax devices: {jax.devices()}")
+    t0 = time.time()
+    data = get_dataset(args.graph, seed=args.seed)
+    print(f"[{args.graph}] n={data.num_nodes} nnz={data.adj.nnz} "
+          f"f={data.num_features} classes={data.num_classes} "
+          f"(loaded in {time.time()-t0:.2f}s)")
+
+    model = GCN(
+        data.num_features, args.hidden, data.num_classes,
+        variant=args.variant, adj_kind=args.adj, reorder=args.reorder,
+        seed=args.seed,
+    )
+    t0 = time.time()
+    model.fit(
+        data.features, data.adj, data.labels, data.idx_train,
+        idx_val=data.idx_val if args.with_val else None,
+        train_iters=args.train_iters, verbose=args.verbose,
+    )
+    print(f"fit done in {time.time()-t0:.2f}s")
+    print(model.timers.report())
+    acc = model.test(data.idx_test)
+    return acc
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() > 0 else 1)

@@ -1,0 +1,84 @@
+"""Dataset registry.
+
+``get_dataset(name)`` returns a ``GraphData`` bundle. Real-data loaders
+(planetoid / GraphSAINT / .mat hypergraph features) read local files when
+present — this environment has no network egress, so unlike the reference's
+auto-downloading ``Dataset`` (dataio.py:24-103) missing files raise with a
+clear message. Synthetic stand-ins ("synth-*") cover every test/bench need,
+with "synth-cora"/"synth-arxiv"/"synth-reddit" sized after their namesakes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from gcn_tpu.graph.csr import CSRGraph
+from gcn_tpu.data import synthetic
+
+
+@dataclasses.dataclass
+class GraphData:
+    name: str
+    adj: CSRGraph            # symmetric, binary, no self loops
+    features: np.ndarray     # float32 (n, f)
+    labels: np.ndarray       # int64 (n,)
+    idx_train: np.ndarray
+    idx_val: np.ndarray
+    idx_test: np.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.adj.shape[0]
+
+    @property
+    def num_classes(self) -> int:
+        return int(self.labels.max()) + 1
+
+    @property
+    def num_features(self) -> int:
+        return self.features.shape[1]
+
+
+# (n, classes, avg_degree, feat_dim, powerlaw) sized after the reference's
+# benchmark roster (run.sh:3-9, dataio.py:18).
+_SYNTH_SPECS = {
+    "synth-tiny":   (200, 4, 8.0, 16, False),
+    "synth-small":  (1500, 6, 9.0, 32, False),
+    "synth-cora":   (2708, 7, 3.9, 1433, False),
+    "synth-citeseer": (3327, 6, 2.8, 3703, False),
+    "synth-pubmed": (19717, 3, 4.5, 500, False),
+    "synth-flickr": (89250, 7, 10.0, 500, True),
+    "synth-arxiv":  (169343, 40, 13.7, 128, True),
+    "synth-reddit": (232965, 41, 50.0, 602, True),
+}
+
+
+def get_dataset(name: str, root: Optional[str] = None, seed: int = 0,
+                **kw) -> GraphData:
+    if name in _SYNTH_SPECS:
+        n, c, deg, f, powerlaw = _SYNTH_SPECS[name]
+        gen = synthetic.powerlaw_sbm if powerlaw else synthetic.sbm
+        adj, labels = gen(n=n, n_classes=c, avg_degree=deg, seed=seed, **kw)
+        feats = synthetic.class_features(labels, feat_dim=f, noise=1.0,
+                                         seed=seed)
+        tr, va, te = synthetic.split_indices(labels, seed=seed)
+        return GraphData(name, adj, feats, labels, tr, va, te)
+
+    if name in ("cora", "citeseer", "cora_ml", "polblogs", "pubmed"):
+        from gcn_tpu.data import planetoid
+
+        return planetoid.load(name, root=root or _default_root())
+    if name in ("flickr", "ppi", "amazon", "reddit", "yelp"):
+        from gcn_tpu.data import graphsaint
+
+        return graphsaint.load(name, root=root or _default_root())
+    raise KeyError(
+        f"unknown dataset {name!r}; synthetic options: {sorted(_SYNTH_SPECS)}")
+
+
+def _default_root() -> str:
+    return os.environ.get("GCN_TPU_DATA", os.path.expanduser("~/gcn_data"))

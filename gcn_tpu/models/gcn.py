@@ -1,0 +1,246 @@
+"""Two-layer GCN with the reference's high-level API and variant ladder.
+
+The reference ships six progressively optimized model files
+(pygcn/gcn1.py..gcn6.py, SURVEY.md §2b). Here the ladder is one class with a
+``variant`` switch — the variants differ only in contraction order, adjacency
+representation, and preprocessing pipeline:
+
+  v1  both layers A(XW); plain SpMM                       (gcn1.py)
+  v2  layer-1 aggregation A@X hoisted out of the training loop — valid
+      because input features are constant across iterations (gcn2.py:147
+      recomputes it per step; hoisting is strictly better and numerically
+      identical)                                          (gcn2.py)
+  v3  layer-2 uses (AX)W                                  (gcn3.py:87-92)
+  v4  contraction order auto-chosen from layer dims       (gcn4.py:135-139)
+  v5  v4 + per-op instrumented timers + XLA-baseline SpMM (gcn5.py)
+  v6  v4 + full pipeline: vertex reorder -> row-panel tiling -> Pallas SpMM,
+      with features, labels, and index sets permuted consistently — fixing
+      the reference's dead label-permutation bug (permutate.cu:17,35 vs
+      gcn6.py:378; SURVEY.md §3.6.1)                      (gcn6.py)
+
+API mirrors gcn6.GCN: fit(features, adj, labels, idx_train, idx_val=None,
+train_iters, ...), test(idx_test), predict(). Outputs from predict() are
+always in the ORIGINAL vertex order regardless of internal reordering.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_tpu.graph.csr import CSRGraph
+from gcn_tpu.graph.normalize import gcn_normalize
+from gcn_tpu.models.gcn_core import gcn_forward, init_gcn_params
+from gcn_tpu.models.layers import auto_order
+from gcn_tpu.ops.adjacency import device_adjacency
+from gcn_tpu.ops.spmm import spmm
+from gcn_tpu.train.loop import fit_gcn
+from gcn_tpu.train.metrics import accuracy, masked_nll
+from gcn_tpu.train.optim import adam_l2
+from gcn_tpu.utils.timers import Timers
+
+_VARIANTS = ("v1", "v2", "v3", "v4", "v5", "v6")
+
+
+def _as_csr(adj) -> CSRGraph:
+    if isinstance(adj, CSRGraph):
+        return adj
+    if hasattr(adj, "tocsr"):  # scipy
+        return CSRGraph.from_scipy(adj)
+    return CSRGraph.from_dense(np.asarray(adj))
+
+
+def _as_dense_features(x) -> np.ndarray:
+    if hasattr(x, "todense"):
+        x = np.asarray(x.todense())
+    return np.asarray(x, dtype=np.float32)
+
+
+class GCN:
+    def __init__(
+        self,
+        nfeat: int,
+        nhid: int,
+        nclass: int,
+        dropout: float = 0.5,
+        lr: float = 0.01,
+        weight_decay: float = 5e-4,
+        with_relu: bool = True,
+        with_bias: bool = True,
+        variant: str = "v4",
+        adj_kind: Optional[str] = None,
+        reorder: Optional[str] = None,
+        seed: int = 0,
+        dtype=jnp.float32,
+    ):
+        assert variant in _VARIANTS, f"variant must be one of {_VARIANTS}"
+        self.nfeat, self.nhid, self.nclass = nfeat, nhid, nclass
+        self.dropout = dropout
+        self.lr = lr
+        # no-relu implies no weight decay, as in gcn1.py:80-84.
+        self.weight_decay = weight_decay if with_relu else 0.0
+        self.with_relu = with_relu
+        self.with_bias = with_bias
+        self.variant = variant
+        self.reorder = reorder if reorder is not None else (
+            "rabbit" if variant == "v6" else None)
+        if adj_kind is None:
+            adj_kind = "panel" if variant == "v6" else "auto"
+        self.adj_kind = adj_kind
+        self.seed = seed
+        self.dtype = dtype
+
+        self.params = None
+        self.timers = Timers()
+        # populated by fit():
+        self.adj_norm = None          # device adjacency (possibly permuted)
+        self.features = None          # device features (possibly permuted)
+        self.labels = None            # device labels (possibly permuted)
+        self.perm = None              # perm[new] = old vertex id, or None
+        self._inv_perm = None         # inv[old] = new
+        self.output = None            # eval-mode log-probs, ORIGINAL order
+        self._hoisted_ax = None       # v2: precomputed A @ X
+
+    # ------------------------------------------------------------------ fit
+
+    def _orders(self):
+        if self.variant == "v1":
+            return ("a_xw", "a_xw")
+        if self.variant == "v2":
+            return ("xw", "a_xw")  # layer-1 SpMM hoisted into preprocessing
+        if self.variant == "v3":
+            return ("a_xw", "ax_w")
+        # v4/v5/v6: dimension-driven choice; layer 1 stays a_xw as in the
+        # reference (gcn4.py:135: "gc1 always A(XW)").
+        return ("a_xw", auto_order(self.nhid, self.nclass))
+
+    def _remap_idx(self, idx):
+        idx = np.asarray(idx)
+        if self._inv_perm is not None:
+            idx = self._inv_perm[idx]
+        return jnp.asarray(idx, dtype=jnp.int32)
+
+    def fit(
+        self,
+        features,
+        adj,
+        labels,
+        idx_train,
+        idx_val=None,
+        *,
+        train_iters: int = 200,
+        initialize: bool = True,
+        verbose: bool = False,
+        normalize: bool = True,
+        patience: int = 500,
+        mode: str = "auto",
+        name: str = "dataset",
+    ):
+        del name  # dataset-name-keyed behavior is dimension-driven here
+        g = _as_csr(adj)
+        x = _as_dense_features(features)
+        labels_np = np.asarray(labels)
+        if normalize:
+            g = gcn_normalize(g)
+
+        # v6 preprocessing pipeline: reorder -> permute features/labels/idx.
+        self.perm = self._inv_perm = None
+        if self.reorder:
+            from gcn_tpu.reorder import reorder_graph
+
+            g, perm = reorder_graph(g, method=self.reorder)
+            self.perm = perm
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.shape[0])
+            self._inv_perm = inv
+            x = x[perm]
+            labels_np = labels_np[perm]
+
+        kind = self.adj_kind
+        kwargs = {}
+        if kind == "auto" and max(g.shape) > 8192:
+            kind = "coo"
+        if kind == "panel":
+            try:
+                import gcn_tpu.tile  # noqa: F401
+            except ImportError:
+                import warnings
+
+                warnings.warn("panel adjacency unavailable; falling back to coo")
+                kind = "coo"
+        if kind in ("coo", "panel"):
+            # The GCN normalization of a symmetric adjacency is symmetric, so
+            # the backward pass may reuse the forward arrays (gcn6.py:49-62).
+            kwargs["symmetric"] = True if normalize else None
+        self.adj_norm = device_adjacency(g, kind, **kwargs)
+        self.features = jnp.asarray(x, dtype=self.dtype)
+        self.labels = jnp.asarray(labels_np)
+        idx_train = self._remap_idx(idx_train)
+        idx_val = self._remap_idx(idx_val) if idx_val is not None else None
+
+        if initialize or self.params is None:
+            self.params = init_gcn_params(
+                jax.random.PRNGKey(self.seed), self.nfeat, self.nhid,
+                self.nclass, self.with_bias, self.dtype)
+
+        orders = self._orders()
+        feats = self.features
+        if self.variant == "v2":
+            # Hoist layer-1 aggregation: A @ X is training-invariant.
+            with self.timers("hoist_ax").d as t:
+                self._hoisted_ax = t.fence(
+                    jax.jit(spmm)(self.adj_norm, self.features))
+            feats = self._hoisted_ax
+
+        adj1 = adj2 = self.adj_norm
+
+        def forward(p, train, rng):
+            return gcn_forward(
+                p, feats, adj1, adj2, orders=orders,
+                dropout_rate=self.dropout, with_relu=self.with_relu,
+                train=train, rng=rng)
+
+        result = fit_gcn(
+            self.params, adam_l2(self.lr, self.weight_decay), forward,
+            self.labels, idx_train, idx_val, train_iters=train_iters,
+            mode=mode, patience=patience,
+            rng=jax.random.PRNGKey(self.seed + 1), verbose=verbose,
+            timers=self.timers)
+        self.params = result.params
+        lp = np.asarray(result.log_probs)
+        if self.perm is not None:
+            lp = lp[self._inv_perm]  # back to original vertex order
+        self.output = jnp.asarray(lp)
+        return self
+
+    # ----------------------------------------------------------- evaluation
+
+    def predict(self, features=None, adj=None):
+        """Eval-mode log-probs in original vertex order (cf. gcn6.py:548-557)."""
+        if features is None and adj is None:
+            return self.output
+        g = gcn_normalize(_as_csr(adj))
+        x = jnp.asarray(_as_dense_features(features), dtype=self.dtype)
+        rep = device_adjacency(g, "auto")
+        lp = gcn_forward(self.params, x, rep, rep, orders=self._orders()
+                         if self.variant != "v2" else ("a_xw", "a_xw"),
+                         dropout_rate=self.dropout,
+                         with_relu=self.with_relu, train=False)
+        return lp
+
+    def test(self, idx_test, verbose: bool = True):
+        """Test accuracy on stored outputs (cf. gcn6.py:527-546)."""
+        idx = jnp.asarray(np.asarray(idx_test), dtype=jnp.int32)
+        labels = self.labels
+        output = self.output
+        if self.perm is not None:
+            # output is already in original order; un-permute labels to match.
+            labels = jnp.asarray(np.asarray(self.labels)[self._inv_perm])
+        loss = float(masked_nll(output, labels, idx))
+        acc = float(accuracy(output, labels, idx))
+        if verbose:
+            print(f"Test set results: loss= {loss:.4f} accuracy= {acc:.4f}")
+        return acc

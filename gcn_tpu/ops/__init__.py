@@ -1,0 +1,4 @@
+from gcn_tpu.ops.adjacency import CooAdj, DenseAdj, device_adjacency
+from gcn_tpu.ops.spmm import spmm
+
+__all__ = ["CooAdj", "DenseAdj", "device_adjacency", "spmm"]

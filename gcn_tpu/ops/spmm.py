@@ -1,0 +1,92 @@
+"""SpMM: sparse normalized adjacency x dense features.
+
+This is the hot op of GCN training (SURVEY.md §0). Strategies:
+
+  * dense  — ``A @ X`` on the MXU (DenseAdj).
+  * coo    — XLA gather + sorted segment-sum (CooAdj); the vendor-baseline
+    analogue of the reference's cuSPARSE path (cuspmm.cu:23-68).
+  * panel  — Pallas row-panel kernel over the tiled format (PanelAdj), the
+    TPU-native counterpart of the reference's flexspmm persistent-block
+    kernels (flexspmm.cu:17-498). See gcn_tpu.ops.pallas_spmm.
+
+All strategies share one differentiable entry point, ``spmm(adj, x)``, with a
+custom VJP:
+    dX     = A^T @ g          (uses the stored transpose; for symmetric A the
+                               transpose aliases the forward arrays — the
+                               invariant the reference silently assumes when
+                               reusing its forward kernel in backward,
+                               gcn6.py:49-62)
+    dvals  = (g X^T) at nnz   (SDDMM — makes edge weights trainable)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_tpu.ops.adjacency import CooAdj, DenseAdj
+
+
+def _int_zero_tangent(a):
+    return np.zeros(a.shape, dtype=jax.dtypes.float0)
+
+
+def _segment_spmm(rows, cols, vals, x, m):
+    """out[r] = sum_e [rows[e]==r] vals[e] * x[cols[e]] via sorted segment sum."""
+    gathered = jnp.take(x, cols, axis=0) * vals[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(
+        gathered, rows, num_segments=m, indices_are_sorted=True
+    )
+
+
+@jax.custom_vjp
+def _spmm_coo(adj: CooAdj, x: jnp.ndarray) -> jnp.ndarray:
+    return _segment_spmm(adj.rows, adj.cols, adj.vals, x, adj.n_rows)
+
+
+def _spmm_coo_fwd(adj, x):
+    return _spmm_coo(adj, x), (adj, x)
+
+
+def _spmm_coo_bwd(res, g):
+    adj, x = res
+    # dX = A^T g — another sorted segment-sum over the transpose layout.
+    dx = _segment_spmm(adj.t_rows, adj.t_cols, adj.t_vals, g, adj.n_cols)
+    dx = dx.astype(x.dtype)
+    # dvals (SDDMM): dval[e] = <g[row_e], x[col_e]>.
+    dvals = jnp.sum(
+        jnp.take(g, adj.rows, axis=0) * jnp.take(x, adj.cols, axis=0), axis=-1
+    ).astype(adj.vals.dtype)
+    d_adj = CooAdj(
+        rows=_int_zero_tangent(adj.rows),
+        cols=_int_zero_tangent(adj.cols),
+        vals=dvals,
+        t_rows=_int_zero_tangent(adj.t_rows),
+        t_cols=_int_zero_tangent(adj.t_cols),
+        t_vals=jnp.zeros_like(adj.t_vals),
+        n_rows=adj.n_rows,
+        n_cols=adj.n_cols,
+        nnz=adj.nnz,
+        symmetric=adj.symmetric,
+    )
+    return d_adj, dx
+
+
+_spmm_coo.defvjp(_spmm_coo_fwd, _spmm_coo_bwd)
+
+
+def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable sparse @ dense: returns ``A @ X`` of shape (m, k)."""
+    if isinstance(adj, DenseAdj):
+        return jnp.dot(adj.mat, x, preferred_element_type=x.dtype)
+    if isinstance(adj, CooAdj):
+        return _spmm_coo(adj, x)
+    # PanelAdj — imported lazily to avoid a package cycle.
+    from gcn_tpu.tile.format import PanelAdj
+
+    if isinstance(adj, PanelAdj):
+        from gcn_tpu.ops.panel_spmm import spmm_panel
+
+        return spmm_panel(adj, x)
+    raise TypeError(f"unsupported adjacency representation: {type(adj)}")

@@ -1,0 +1,72 @@
+"""Vertex reordering for SpMM locality.
+
+TPU-era equivalent of the reference's renumbering library (renumber.cu,
+order_*.cu, SURVEY.md §2a): a family of passes that permute the graph so
+neighborhoods become contiguous, which on TPU maximizes row-panel/column-
+window tile density (gcn_tpu.tile) and minimizes cross-shard halo traffic
+(gcn_tpu.parallel).
+
+Methods (perm[new] = old, the reference's ``vomp`` convention):
+  identity | degree | dfs | rcm | gorder | rabbit
+
+Every pass is validated by a permutation check plus a graph-isomorphism
+checksum, the same self-verification the reference performs after each pass
+(renumber.cu:123-149, 287-313).
+
+A native C++ implementation (gcn_tpu/reorder/csrc) is used when built; pure
+numpy/scipy fallbacks otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from gcn_tpu.graph.csr import CSRGraph
+
+METHODS = ("identity", "degree", "dfs", "rcm", "gorder", "rabbit")
+
+
+def compute_permutation(g: CSRGraph, method: str = "rabbit",
+                        prefer_native: bool = True) -> np.ndarray:
+    """Return perm (int32[n], perm[new]=old) for the given method."""
+    if method not in METHODS:
+        raise ValueError(f"unknown reorder method {method!r}; options: {METHODS}")
+    if method == "identity":
+        return np.arange(g.shape[0], dtype=np.int32)
+    if prefer_native:
+        from gcn_tpu.reorder import native
+
+        if native.available():
+            return native.compute_permutation(g, method)
+    from gcn_tpu.reorder import python_impl
+
+    return getattr(python_impl, f"{method}_order")(g)
+
+
+def reorder_graph(g: CSRGraph, method: str = "rabbit", *,
+                  prefer_native: bool = True,
+                  verify: bool = True) -> Tuple[CSRGraph, np.ndarray]:
+    """Compute a permutation and apply it symmetrically.
+
+    Returns (permuted graph, perm) with perm[new] = old. The permuted graph
+    has sorted column ids per row, as the tiler requires (renumber.cu:105).
+    """
+    perm = compute_permutation(g, method, prefer_native=prefer_native)
+    validate_permutation(perm, g.shape[0])
+    g2 = g.permute(perm)
+    if verify:
+        a = np.sort(g.isomorphism_checksum())
+        b = np.sort(g2.isomorphism_checksum())
+        if not np.allclose(a, b, rtol=1e-9, atol=1e-6):
+            raise AssertionError(
+                f"reorder {method!r} broke the graph: checksum mismatch")
+    return g2, perm
+
+
+def validate_permutation(perm: np.ndarray, n: int) -> None:
+    assert perm.shape == (n,), f"perm shape {perm.shape} != ({n},)"
+    seen = np.zeros(n, dtype=bool)
+    seen[perm] = True
+    assert seen.all(), "not a permutation: missing indices"

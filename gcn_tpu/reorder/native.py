@@ -1,0 +1,81 @@
+"""ctypes binding for the native C++ reordering library.
+
+Build: ``make -C gcn_tpu/reorder/csrc`` (see csrc/Makefile) producing
+``libgcnreorder.so``. The exported contract mirrors the reference's
+``extern "C"`` CSR-pointer interface (renumber.cu:23) but computes the
+permutation only — applying it is vectorized numpy on the Python side.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from gcn_tpu.graph.csr import CSRGraph
+
+_CSRC = os.path.join(os.path.dirname(__file__), "csrc")
+_SO = os.path.join(_CSRC, "libgcnreorder.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_SO):
+        try:  # build once, quietly; sources ship with the package
+            subprocess.run(
+                ["make", "-s", "-C", _CSRC],
+                check=True, capture_output=True, timeout=600,
+            )
+        except Exception:
+            _load_failed = True
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+        lib.gcn_reorder.restype = ctypes.c_int
+        lib.gcn_reorder.argtypes = [
+            ctypes.c_char_p,                   # method
+            ctypes.POINTER(ctypes.c_int32),    # indptr [n+1]
+            ctypes.POINTER(ctypes.c_int32),    # indices [nnz]
+            ctypes.POINTER(ctypes.c_float),    # data [nnz]
+            ctypes.c_int32,                    # n
+            ctypes.c_int64,                    # nnz
+            ctypes.POINTER(ctypes.c_int32),    # perm_out [n]
+        ]
+        _lib = lib
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def compute_permutation(g: CSRGraph, method: str) -> np.ndarray:
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native reorder library unavailable")
+    n = g.shape[0]
+    perm = np.empty(n, dtype=np.int32)
+    indptr = np.ascontiguousarray(g.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(g.indices, dtype=np.int32)
+    data = np.ascontiguousarray(g.data, dtype=np.float32)
+    rc = lib.gcn_reorder(
+        method.encode(),
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(n),
+        ctypes.c_int64(g.nnz),
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native reorder {method!r} failed with code {rc}")
+    return perm

@@ -1,0 +1,139 @@
+"""GCN training loops.
+
+Re-implements the reference's three fit modes (gcn1.py:180-301) as one loop
+driver around a jitted train step:
+
+  * no validation      — _train_without_val (gcn1.py:180-217)
+  * with validation    — best-val-snapshot  (gcn1.py:219-256)
+  * early stopping     — patience on val loss (gcn1.py:258-301)
+
+The step (forward + loss + backward + Adam update) is a single jitted
+function; fwd/bwd wall times are measured device-fenced per iteration, with
+the reference's warmup convention (timers reset after iteration 10,
+gcn5.py:273-291) available via ``warmup``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gcn_tpu.train.metrics import accuracy, masked_nll
+from gcn_tpu.utils.timers import Timers
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: object
+    log_probs: jnp.ndarray  # final (or best) full-graph eval-mode outputs
+    timers: Timers
+    history: list
+    best_iter: int = -1
+
+
+def fit_gcn(
+    params,
+    tx,
+    forward: Callable,  # forward(params, train: bool, rng) -> log_probs (n, C)
+    labels: jnp.ndarray,
+    idx_train: jnp.ndarray,
+    idx_val: Optional[jnp.ndarray] = None,
+    *,
+    train_iters: int = 200,
+    mode: str = "auto",  # auto | no_val | val | early_stop
+    patience: int = 500,
+    rng: Optional[jax.Array] = None,
+    verbose: bool = False,
+    warmup: int = 10,
+    timers: Optional[Timers] = None,
+) -> TrainResult:
+    if mode == "auto":
+        mode = "no_val" if idx_val is None else "val"
+    if mode != "no_val" and idx_val is None:
+        raise ValueError(f"mode {mode!r} requires idx_val")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    timers = timers or Timers()
+    labels = jnp.asarray(labels)
+    idx_train = jnp.asarray(idx_train)
+    if idx_val is not None:
+        idx_val = jnp.asarray(idx_val)
+
+    opt_state = tx.init(params)
+
+    def loss_fn(p, step_rng):
+        lp = forward(p, True, step_rng)
+        return masked_nll(lp, labels, idx_train)
+
+    @jax.jit
+    def train_step(p, o, step_rng):
+        loss, grads = jax.value_and_grad(loss_fn)(p, step_rng)
+        updates, o = tx.update(grads, o, p)
+        p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        return p, o, loss
+
+    @jax.jit
+    def eval_step(p):
+        lp = forward(p, False, rng)
+        return lp
+
+    best_params, best_lp = params, None
+    best_loss_val = jnp.inf
+    best_acc_val = -jnp.inf
+    best_iter = -1
+    patience_left = patience
+    history = []
+
+    for i in range(train_iters):
+        if i == warmup:
+            timers.reset("step")
+        rng, step_rng = jax.random.split(rng)
+        with timers("step").d as t:
+            params, opt_state, loss = train_step(params, opt_state, step_rng)
+            t.fence(loss)
+        loss = float(loss)
+        rec = {"iter": i, "loss_train": loss}
+
+        if mode in ("val", "early_stop"):
+            lp = eval_step(params)
+            loss_val = float(masked_nll(lp, labels, idx_val))
+            acc_val = float(accuracy(lp, labels, idx_val))
+            rec.update(loss_val=loss_val, acc_val=acc_val)
+            if mode == "val":
+                # Track both best-val-loss and best-val-acc snapshots, the
+                # later improvement winning — gcn1.py:239-254 semantics.
+                if loss_val < best_loss_val:
+                    best_loss_val = loss_val
+                    best_params, best_lp, best_iter = params, lp, i
+                if acc_val > best_acc_val:
+                    best_acc_val = acc_val
+                    best_params, best_lp, best_iter = params, lp, i
+            else:  # early_stop: patience on val loss (gcn1.py:277-292)
+                if loss_val < best_loss_val:
+                    best_loss_val = loss_val
+                    best_params, best_lp, best_iter = params, lp, i
+                    patience_left = patience
+                else:
+                    patience_left -= 1
+                if i > patience and patience_left <= 0:
+                    history.append(rec)
+                    if verbose:
+                        print(f"=== early stopping at iteration {i}, "
+                              f"best val loss {best_loss_val:.4f} ===")
+                    break
+        history.append(rec)
+        if verbose and i % 10 == 0:
+            msg = f"Epoch {i:4d}, training loss: {loss:.6f}"
+            if "loss_val" in rec:
+                msg += f", val loss: {rec['loss_val']:.6f}, val acc: {rec['acc_val']:.4f}"
+            print(msg)
+
+    if mode == "no_val":
+        best_params = params
+        best_lp = eval_step(params)
+        best_iter = train_iters - 1
+    return TrainResult(params=best_params, log_probs=best_lp, timers=timers,
+                       history=history, best_iter=best_iter)

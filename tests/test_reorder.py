@@ -1,0 +1,85 @@
+import numpy as np
+import pytest
+
+from gcn_tpu.data.synthetic import sbm
+from gcn_tpu.graph.csr import coo_to_csr
+from gcn_tpu.reorder import METHODS, compute_permutation, reorder_graph, \
+    validate_permutation
+from gcn_tpu.reorder import python_impl
+
+
+@pytest.fixture(scope="module")
+def graph():
+    g, _ = sbm(n=300, n_classes=5, avg_degree=8.0, seed=3)
+    return g
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_valid_permutation(graph, method):
+    perm = compute_permutation(graph, method, prefer_native=False)
+    validate_permutation(perm, graph.shape[0])
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_isomorphism_preserved(graph, method):
+    g2, perm = reorder_graph(graph, method, prefer_native=False)
+    # exact graph equality through the permutation
+    n = graph.shape[0]
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    d1 = graph.to_dense()
+    d2 = g2.to_dense()
+    assert np.allclose(d2, d1[np.ix_(perm, perm)])
+
+
+def test_degree_order_sorted(graph):
+    perm = python_impl.degree_order(graph)
+    deg = graph.row_degrees()[perm]
+    assert np.all(np.diff(deg) >= 0)
+
+
+def test_dfs_covers_components():
+    # two disconnected triangles
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
+    src, dst = zip(*edges)
+    g = coo_to_csr(np.array(src), np.array(dst), None, (6, 6)).symmetrize()
+    perm = python_impl.dfs_order(g)
+    validate_permutation(perm, 6)
+
+
+def test_rcm_reduces_bandwidth(graph):
+    def bandwidth(g):
+        r, c, _ = g.to_coo()
+        return int(np.abs(r.astype(np.int64) - c).max())
+
+    g2, _ = reorder_graph(graph, "rcm", prefer_native=False)
+    assert bandwidth(g2) <= bandwidth(graph)
+
+
+def test_rabbit_improves_community_locality():
+    """After rabbit ordering on an SBM, same-community vertices should be
+    closer together: mean |i - j| over edges must drop vs the shuffled
+    input — the locality objective of the reference's pass."""
+    g, _ = sbm(n=400, n_classes=8, avg_degree=10.0, seed=7, shuffle=True)
+
+    def mean_edge_span(gr):
+        r, c, _ = gr.to_coo()
+        return float(np.abs(r.astype(np.int64) - c).mean())
+
+    g2, _ = reorder_graph(g, "rabbit", prefer_native=False)
+    assert mean_edge_span(g2) < 0.7 * mean_edge_span(g)
+
+
+def test_gorder_valid_on_weighted(rng):
+    src = rng.integers(0, 80, 400)
+    dst = rng.integers(0, 80, 400)
+    g = coo_to_csr(src, dst, rng.random(400).astype(np.float32),
+                   (80, 80)).symmetrize(binarize=False)
+    g2, perm = reorder_graph(g, "gorder", prefer_native=False)
+    validate_permutation(perm, 80)
+
+
+def test_modularity_positive_on_sbm():
+    g, labels = sbm(n=400, n_classes=4, avg_degree=12.0, seed=5, shuffle=False)
+    q = python_impl.modularity(g, labels.astype(np.int64))
+    assert q > 0.3
