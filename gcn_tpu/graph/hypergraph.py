@@ -1,0 +1,114 @@
+"""Hypergraph construction math (HGNN pipeline).
+
+Re-implements the reference's hypergraph utilities
+(pyhgnn/utils/hypergraph_utils.py) with the same numerics:
+
+  * Euclidean distance matrix (hypergraph_utils.py:10-25)
+  * probabilistic KNN incidence H with exp(-d^2 / (m * d_avg)^2)
+    (hypergraph_utils.py:128-154, construct_H_with_KNN:157-181)
+  * multi-modality incidence concatenation (hypergraph_utils.py:28-78)
+  * G = Dv^{-1/2} H W De^{-1} H^T Dv^{-1/2}  (generate_G_from_H:97-125)
+
+The reference forms G densely then converts to torch sparse on GPU
+(pyhgnn/train.py:40); here G is returned as a CSRGraph so it flows through
+the same SpMM strategy stack (dense / coo / panel-Pallas) as ordinary graphs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from gcn_tpu.graph.csr import CSRGraph
+
+
+def euclidean_distances(x: np.ndarray) -> np.ndarray:
+    """Pairwise squared-Euclidean distance matrix (hypergraph_utils.py:10-25).
+
+    Note: the reference returns *squared* distances (it computes
+    x x^T diag trick without sqrt) — preserved here.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    sq = np.sum(x * x, axis=1)
+    d = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    np.maximum(d, 0.0, out=d)
+    return d
+
+
+def construct_H_with_KNN(
+    x: np.ndarray,
+    k_neig: int = 10,
+    *,
+    is_prob: bool = True,
+    m_prob: float = 1.0,
+) -> np.ndarray:
+    """KNN hyperedge incidence: one hyperedge per vertex containing its
+    k nearest neighbors (self included), weighted
+    exp(-d^2/(m_prob*d_avg)^2) when is_prob (hypergraph_utils.py:128-181)."""
+    n = x.shape[0]
+    dis = euclidean_distances(x)
+    h = np.zeros((n, n), dtype=np.float32)
+    for center in range(n):
+        dvec = dis[center].copy()
+        dvec[center] = 0.0
+        avg = float(dvec.mean())
+        order = np.argsort(dvec)
+        neigh = order[:k_neig]
+        if center not in neigh:
+            neigh[-1] = center
+        for v in neigh:
+            if is_prob and avg > 0:
+                h[v, center] = np.exp(-(dvec[v] ** 2) / ((m_prob * avg) ** 2))
+            else:
+                h[v, center] = 1.0
+    return h
+
+
+def hyperedge_concat(*h_list) -> np.ndarray:
+    """Concatenate incidence matrices along hyperedges
+    (hypergraph_utils.py:28-50), skipping empty entries."""
+    mats = [np.asarray(h) for h in h_list if h is not None and np.size(h)]
+    if not mats:
+        raise ValueError("no incidence matrices to concatenate")
+    return np.hstack(mats)
+
+
+def generate_G_from_H(h: np.ndarray,
+                      w: Optional[np.ndarray] = None,
+                      *,
+                      variance_weight: bool = False) -> CSRGraph:
+    """G = Dv^{-1/2} H W De^{-1} H^T Dv^{-1/2} (hypergraph_utils.py:97-125)."""
+    h = np.asarray(h, dtype=np.float64)
+    n, n_e = h.shape
+    if w is None:
+        w = np.ones(n_e, dtype=np.float64)
+    dv = (h * w[None, :]).sum(axis=1)
+    de = h.sum(axis=0)
+    with np.errstate(divide="ignore"):
+        inv_de = np.where(de > 0, 1.0 / de, 0.0)
+        inv_sqrt_dv = np.where(dv > 0, dv ** -0.5, 0.0)
+    h2 = inv_sqrt_dv[:, None] * h                 # Dv^-1/2 H
+    g = (h2 * (w * inv_de)[None, :]) @ h2.T       # ... W De^-1 H^T Dv^-1/2
+    out = CSRGraph.from_dense(g.astype(np.float32))
+    del variance_weight
+    return out
+
+
+def construct_H_with_KNN_multi(
+    features: Sequence[np.ndarray],
+    k_neigs: Union[int, Sequence[int]] = 10,
+    *,
+    is_prob: bool = True,
+    m_prob: float = 1.0,
+) -> np.ndarray:
+    """Multi-modality / multi-scale KNN hypergraph: one group of hyperedges
+    per (feature modality, K) pair, concatenated (visual_data.py:5-59)."""
+    if isinstance(k_neigs, int):
+        k_neigs = [k_neigs]
+    hs: List[np.ndarray] = []
+    for x in features:
+        for k in k_neigs:
+            hs.append(construct_H_with_KNN(x, k, is_prob=is_prob,
+                                           m_prob=m_prob))
+    return hyperedge_concat(*hs)

@@ -1,0 +1,162 @@
+"""Hypergraph GNN (HGNN) — pyhgnn model family.
+
+Functional core + class wrapper matching the reference model
+(pyhgnn/models/HGNN.py:27-59): two HGNN_conv layers
+``x -> relu(G (x W1 + b1)) -> dropout -> G (x W2 + b2)`` over the hypergraph
+Laplacian-like operator G (gcn_tpu.graph.hypergraph.generate_G_from_H), with
+the reference's training recipe (pyhgnn/train.py:47-155): Adam(lr 1e-3,
+wd 5e-4), MultiStepLR gamma decay, CrossEntropy loss, best-val snapshot.
+
+Init matches torch defaults used there: HGNN_conv resets weight/bias with
+uniform(-1/sqrt(out), 1/sqrt(out)) (pyhgnn/models/layers.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gcn_tpu.graph.csr import CSRGraph
+from gcn_tpu.models.layers import dropout as dropout_fn
+from gcn_tpu.models.layers import init_linear
+from gcn_tpu.ops.adjacency import device_adjacency
+from gcn_tpu.ops.spmm import spmm
+from gcn_tpu.train.metrics import accuracy
+from gcn_tpu.utils.timers import Timers
+
+
+def init_hgnn_params(key, in_ch: int, n_hid: int, n_class: int,
+                     dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    return {
+        "hgc1": init_linear(k1, in_ch, n_hid, True, dtype),
+        "hgc2": init_linear(k2, n_hid, n_class, True, dtype),
+    }
+
+
+def hgnn_forward(params, x, g_adj, *, dropout: float = 0.5,
+                 train: bool = False, rng=None):
+    """Returns logits (n, n_class). HGNN_conv is x W + b then G @ (.)
+    (HGNN.py:27-38) — i.e. the A(XW) contraction order."""
+    h = jnp.dot(x, params["hgc1"]["w"],
+                preferred_element_type=x.dtype) + params["hgc1"]["b"]
+    h = spmm(g_adj, h)
+    h = jax.nn.relu(h)
+    if train and dropout > 0:
+        h = dropout_fn(rng, h, dropout, train=True)
+    h = jnp.dot(h, params["hgc2"]["w"],
+                preferred_element_type=h.dtype) + params["hgc2"]["b"]
+    return spmm(g_adj, h)
+
+
+def cross_entropy(logits, labels, idx):
+    lp = jax.nn.log_softmax(jnp.take(logits, idx, axis=0), axis=1)
+    y = jnp.take(labels, idx, axis=0)
+    return -jnp.mean(jnp.take_along_axis(lp, y[:, None], axis=1))
+
+
+class HGNN:
+    """Class API mirroring pyhgnn's train_model driver (train.py:47-128)."""
+
+    def __init__(self, in_ch: int, n_class: int, n_hid: int = 128,
+                 dropout: float = 0.5, lr: float = 0.001,
+                 weight_decay: float = 5e-4,
+                 milestones: Sequence[int] = (100,), gamma: float = 0.9,
+                 adj_kind: str = "auto", seed: int = 0):
+        self.in_ch, self.n_class, self.n_hid = in_ch, n_class, n_hid
+        self.dropout = dropout
+        self.lr, self.weight_decay = lr, weight_decay
+        self.milestones, self.gamma = list(milestones), gamma
+        self.adj_kind = adj_kind
+        self.seed = seed
+        self.params = None
+        self.timers = Timers()
+        self.best_acc = 0.0
+        self.output = None
+
+    def _optimizer(self):
+        # torch MultiStepLR: lr *= gamma at each milestone epoch.
+        def schedule(count):
+            m = jnp.asarray(self.milestones)
+            return self.lr * self.gamma ** jnp.sum(count >= m)
+
+        return optax.chain(
+            optax.add_decayed_weights(self.weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(schedule),
+        )
+
+    def fit(self, features, G, labels, idx_train, idx_val=None, *,
+            num_epochs: int = 600, verbose: bool = False,
+            print_freq: int = 100):
+        if isinstance(G, CSRGraph):
+            g_csr = G
+        elif hasattr(G, "tocsr"):
+            g_csr = CSRGraph.from_scipy(G)
+        else:
+            g_csr = CSRGraph.from_dense(np.asarray(G))
+        adj = device_adjacency(g_csr, self.adj_kind)
+        x = jnp.asarray(np.asarray(features), dtype=jnp.float32)
+        labels = jnp.asarray(np.asarray(labels))
+        idx_train = jnp.asarray(np.asarray(idx_train), dtype=jnp.int32)
+        if idx_val is not None:
+            idx_val = jnp.asarray(np.asarray(idx_val), dtype=jnp.int32)
+
+        if self.params is None:
+            self.params = init_hgnn_params(
+                jax.random.PRNGKey(self.seed), self.in_ch, self.n_hid,
+                self.n_class)
+        tx = self._optimizer()
+        opt_state = tx.init(self.params)
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        @jax.jit
+        def step(p, o, r):
+            def loss_fn(pp):
+                logits = hgnn_forward(pp, x, adj, dropout=self.dropout,
+                                      train=True, rng=r)
+                return cross_entropy(logits, labels, idx_train)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = tx.update(grads, o, p)
+            return optax.apply_updates(p, updates), o, loss
+
+        @jax.jit
+        def evaluate(p):
+            return hgnn_forward(p, x, adj, train=False)
+
+        best_params = self.params
+        for epoch in range(num_epochs):
+            rng, r = jax.random.split(rng)
+            with self.timers("epoch").d as t:
+                self.params, opt_state, loss = step(self.params, opt_state, r)
+                t.fence(loss)
+            if idx_val is not None:
+                logits = evaluate(self.params)
+                acc = float(accuracy(jax.nn.log_softmax(logits, 1),
+                                     labels, idx_val))
+                if acc > self.best_acc:
+                    self.best_acc = acc
+                    best_params = self.params
+            if verbose and epoch % print_freq == 0:
+                msg = f"Epoch {epoch}/{num_epochs} loss {float(loss):.4f}"
+                if idx_val is not None:
+                    msg += f" val_acc {acc:.4f} best {self.best_acc:.4f}"
+                print(msg)
+        if idx_val is not None:
+            self.params = best_params
+        self.output = evaluate(self.params)
+        self._labels = labels
+        return self
+
+    def test(self, idx_test, verbose: bool = True):
+        idx = jnp.asarray(np.asarray(idx_test), dtype=jnp.int32)
+        acc = float(accuracy(jax.nn.log_softmax(self.output, 1),
+                             self._labels, idx))
+        if verbose:
+            print(f"HGNN test accuracy: {acc:.4f}")
+        return acc

@@ -1,0 +1,78 @@
+import numpy as np
+import pytest
+
+from gcn_tpu.data.synthetic import class_features, split_indices
+from gcn_tpu.graph.hypergraph import (
+    construct_H_with_KNN,
+    construct_H_with_KNN_multi,
+    euclidean_distances,
+    generate_G_from_H,
+    hyperedge_concat,
+)
+from gcn_tpu.models.hgnn import HGNN
+
+
+@pytest.fixture(scope="module")
+def feats():
+    rng = np.random.default_rng(0)
+    labels = np.repeat(np.arange(4), 50)
+    centroids = rng.normal(size=(4, 16)) * 3
+    x = centroids[labels] + rng.normal(size=(200, 16))
+    return x.astype(np.float32), labels
+
+
+def test_euclidean_distances(feats):
+    x, _ = feats
+    d = euclidean_distances(x[:20])
+    ref = ((x[:20, None, :] - x[None, :20, :]) ** 2).sum(-1)
+    assert np.allclose(d, ref, atol=1e-3)
+    assert np.allclose(np.diag(d), 0.0, atol=1e-3)
+
+
+def test_knn_incidence_shape_and_degree(feats):
+    x, _ = feats
+    h = construct_H_with_KNN(x, k_neig=5)
+    assert h.shape == (200, 200)
+    # each hyperedge (column) has exactly k vertices
+    assert np.all((h > 0).sum(axis=0) == 5)
+    # probabilistic weights in (0, 1]
+    nz = h[h > 0]
+    assert np.all(nz > 0) and np.all(nz <= 1.0 + 1e-6)
+
+
+def test_hyperedge_concat(feats):
+    x, _ = feats
+    h1 = construct_H_with_KNN(x, 5)
+    h2 = construct_H_with_KNN(x, 10)
+    h = hyperedge_concat(h1, None, h2)
+    assert h.shape == (200, 400)
+    multi = construct_H_with_KNN_multi([x], [5, 10])
+    assert np.allclose(h, multi)
+
+
+def test_generate_G_properties(feats):
+    x, _ = feats
+    h = construct_H_with_KNN(x, 5)
+    g = generate_G_from_H(h)
+    dense = g.to_dense()
+    assert dense.shape == (200, 200)
+    assert np.allclose(dense, dense.T, atol=1e-5)  # symmetric
+    # matches the explicit formula
+    w = np.ones(200)
+    dv = h.sum(1)
+    de = h.sum(0)
+    ref = (np.diag(dv ** -0.5) @ h @ np.diag(w) @ np.diag(1 / de)
+           @ h.T @ np.diag(dv ** -0.5))
+    assert np.allclose(dense, ref, atol=1e-4)
+
+
+def test_hgnn_trains(feats):
+    x, labels = feats
+    h = construct_H_with_KNN(x, 8)
+    g = generate_G_from_H(h)
+    idx_train, idx_val, idx_test = split_indices(labels, per_class_train=10,
+                                                 n_val=40, n_test=100)
+    model = HGNN(in_ch=16, n_class=4, n_hid=32, seed=0)
+    model.fit(x, g, labels, idx_train, idx_val, num_epochs=120)
+    acc = model.test(idx_test, verbose=False)
+    assert acc > 0.8, f"HGNN accuracy too low: {acc}"
