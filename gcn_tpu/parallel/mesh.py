@@ -1,0 +1,27 @@
+"""Device mesh setup.
+
+The reference is single-GPU (SURVEY.md §2d) — multi-chip scaling is new
+capability: the graph is partitioned by row windows across a 1-D mesh axis
+("data"), features/labels are sharded by the same rows, and layer
+aggregations exchange boundary information with XLA collectives over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh
+
+
+def create_mesh(n_devices: Optional[int] = None,
+                axis_names: Sequence[str] = ("data",)) -> Mesh:
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices, have {len(devices)}; for CPU "
+            "testing set XLA_FLAGS=--xla_force_host_platform_device_count=N")
+    return jax.make_mesh((n_devices,), tuple(axis_names),
+                         devices=devices[:n_devices])

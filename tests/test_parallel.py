@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_tpu.data.registry import get_dataset
+from gcn_tpu.graph.normalize import gcn_normalize
+from gcn_tpu.models.gcn_core import gcn_forward, init_gcn_params
+from gcn_tpu.ops.adjacency import coo_adjacency
+from gcn_tpu.parallel import (create_mesh, make_sharded_gcn_train_step,
+                              shard_graph_by_rows)
+from gcn_tpu.parallel.partition import pad_rows
+from gcn_tpu.reorder import reorder_graph
+from gcn_tpu.train.optim import adam_l2
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = get_dataset("synth-small", seed=0)
+    g = gcn_normalize(data.adj)
+    return data, g
+
+
+def test_shard_graph_roundtrip(setup):
+    data, g = setup
+    sg = shard_graph_by_rows(g, N_DEV)
+    # every edge present exactly once
+    rows_local = np.asarray(sg.rows_local)
+    cols = np.asarray(sg.cols)
+    vals = np.asarray(sg.vals)
+    dense = np.zeros((sg.n_rows_padded, g.shape[1]), np.float32)
+    for s in range(N_DEV):
+        np.add.at(dense, (rows_local[s] + s * sg.rows_per_shard, cols[s]),
+                  vals[s])
+    assert np.allclose(dense[: g.shape[0]], g.to_dense(), atol=1e-6)
+
+
+def test_boundary_fraction_improves_with_reorder(setup):
+    data, g = setup
+    frac_orig = shard_graph_by_rows(g, N_DEV).boundary_fraction()
+    g_re, _ = reorder_graph(g, "rabbit", prefer_native=True)
+    frac_re = shard_graph_by_rows(g_re, N_DEV).boundary_fraction()
+    assert frac_re < frac_orig
+
+
+def test_sharded_forward_matches_single_device(setup):
+    data, g = setup
+    mesh = create_mesh(N_DEV)
+    sg = shard_graph_by_rows(g, N_DEV)
+    params = init_gcn_params(jax.random.PRNGKey(0), data.num_features, 16,
+                             data.num_classes)
+    x = pad_rows(data.features, sg)
+    _, eval_fn, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, adam_l2(), dropout=0.0)
+    adj, xs, ys, ms = shard_fn(sg, x, pad_rows(data.labels, sg),
+                               pad_rows(np.ones(g.shape[0]), sg))
+    lp_sharded = np.asarray(eval_fn(params, adj, xs))[: g.shape[0]]
+
+    ref_adj = coo_adjacency(g, symmetric=True)
+    lp_ref = np.asarray(gcn_forward(params, jnp.asarray(data.features),
+                                    ref_adj))
+    np.testing.assert_allclose(lp_sharded, lp_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_training_converges(setup):
+    data, g = setup
+    mesh = create_mesh(N_DEV)
+    sg = shard_graph_by_rows(g, N_DEV)
+    params = init_gcn_params(jax.random.PRNGKey(0), data.num_features, 16,
+                             data.num_classes)
+    tx = adam_l2(0.01, 5e-4)
+    train_step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.5)
+    mask = np.zeros(g.shape[0], np.float32)
+    mask[data.idx_train] = 1.0
+    adj, xs, ys, ms = shard_fn(sg, pad_rows(data.features, sg),
+                               pad_rows(data.labels, sg), pad_rows(mask, sg))
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(60):
+        rng, r = jax.random.split(rng)
+        params, opt_state, loss = train_step(params, opt_state, r, adj, xs,
+                                             ys, ms)
+        losses.append(float(loss))
+    assert losses[-1] < 0.3 * losses[0]
+    # test accuracy via sharded eval
+    lp = np.asarray(eval_fn(params, adj, xs))[: g.shape[0]]
+    pred = lp.argmax(1)
+    acc = (pred[data.idx_test] == data.labels[data.idx_test]).mean()
+    assert acc > 0.75
+
+
+def test_grad_matches_single_device(setup):
+    """Gradients through shard_map must equal single-device gradients."""
+    data, g = setup
+    mesh = create_mesh(N_DEV)
+    sg = shard_graph_by_rows(g, N_DEV)
+    params = init_gcn_params(jax.random.PRNGKey(0), data.num_features, 8,
+                             data.num_classes)
+    tx = adam_l2(0.01, 0.0)
+    train_step, _, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.0)
+    mask = np.zeros(g.shape[0], np.float32)
+    mask[data.idx_train] = 1.0
+    adj, xs, ys, ms = shard_fn(sg, pad_rows(data.features, sg),
+                               pad_rows(data.labels, sg), pad_rows(mask, sg))
+    rng = jax.random.PRNGKey(2)
+    p1, _, loss_sharded = train_step(params, tx.init(params), rng, adj, xs,
+                                     ys, ms)
+
+    # single-device reference loss/grad
+    ref_adj = coo_adjacency(g, symmetric=True)
+    idx_train = jnp.asarray(data.idx_train)
+
+    def ref_loss(p):
+        lp = gcn_forward(p, jnp.asarray(data.features), ref_adj,
+                         dropout_rate=0.0, train=False)
+        picked = jnp.take_along_axis(
+            jnp.take(lp, idx_train, 0),
+            jnp.take(jnp.asarray(data.labels), idx_train, 0)[:, None], 1)
+        return -jnp.mean(picked)
+
+    loss_ref, grads_ref = jax.value_and_grad(ref_loss)(params)
+    assert abs(float(loss_sharded) - float(loss_ref)) < 1e-4
