@@ -71,11 +71,11 @@ def get_dataset(name: str, root: Optional[str] = None, seed: int = 0,
     if name in ("cora", "citeseer", "cora_ml", "polblogs", "pubmed"):
         from gcn_tpu.data import planetoid
 
-        return planetoid.load(name, root=root or _default_root())
+        return planetoid.load(name, root=root or _default_root(), **kw)
     if name in ("flickr", "ppi", "amazon", "reddit", "yelp"):
         from gcn_tpu.data import graphsaint
 
-        return graphsaint.load(name, root=root or _default_root())
+        return graphsaint.load(name, root=root or _default_root(), **kw)
     raise KeyError(
         f"unknown dataset {name!r}; synthetic options: {sorted(_SYNTH_SPECS)}")
 

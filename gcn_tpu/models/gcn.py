@@ -13,9 +13,11 @@ representation, and preprocessing pipeline:
   v3  layer-2 uses (AX)W                                  (gcn3.py:87-92)
   v4  contraction order auto-chosen from layer dims       (gcn4.py:135-139)
   v5  v4 + per-op instrumented timers + XLA-baseline SpMM (gcn5.py)
-  v6  v4 + full pipeline: vertex reorder -> row-panel tiling -> Pallas SpMM,
-      with features, labels, and index sets permuted consistently — fixing
-      the reference's dead label-permutation bug (permutate.cu:17,35 vs
+  v6  v4 + full pipeline: vertex reorder (rabbit, then degree-sort for the
+      ELL scatter — column order is gather-neutral on TPU, see
+      gcn_tpu/tile/ell.py) -> packed-ELL tiling -> Pallas SpMM, with
+      features, labels, and index sets permuted consistently — fixing the
+      reference's dead label-permutation bug (permutate.cu:17,35 vs
       gcn6.py:378; SURVEY.md §3.6.1)                      (gcn6.py)
 
 API mirrors gcn6.GCN: fit(features, adj, labels, idx_train, idx_val=None,
@@ -88,7 +90,7 @@ class GCN:
         self.reorder = reorder if reorder is not None else (
             "rabbit" if variant == "v6" else None)
         if adj_kind is None:
-            adj_kind = "panel" if variant == "v6" else "auto"
+            adj_kind = "ell" if variant == "v6" else "auto"
         self.adj_kind = adj_kind
         self.seed = seed
         self.dtype = dtype
@@ -148,10 +150,22 @@ class GCN:
 
         # v6 preprocessing pipeline: reorder -> permute features/labels/idx.
         self.perm = self._inv_perm = None
+        perm = None
         if self.reorder:
             from gcn_tpu.reorder import reorder_graph
 
             g, perm = reorder_graph(g, method=self.reorder)
+        if self.adj_kind == "ell":
+            # The ELL scatter wants degree-homogeneous row windows; the TPU
+            # gather is column-order-neutral, so this costs the reorder
+            # nothing (gcn_tpu/tile/ell.py). Stable sort keeps community
+            # order among equal degrees.
+            from gcn_tpu.tile import degree_sort_order
+
+            ds = degree_sort_order(g)
+            g = g.permute(ds)
+            perm = ds if perm is None else perm[ds]
+        if perm is not None:
             self.perm = perm
             inv = np.empty_like(perm)
             inv[perm] = np.arange(perm.shape[0])
@@ -163,15 +177,15 @@ class GCN:
         kwargs = {}
         if kind == "auto" and max(g.shape) > 8192:
             kind = "coo"
-        if kind == "panel":
+        if kind in ("panel", "ell"):
             try:
                 import gcn_tpu.tile  # noqa: F401
             except ImportError:
                 import warnings
 
-                warnings.warn("panel adjacency unavailable; falling back to coo")
+                warnings.warn("tiled adjacency unavailable; falling back to coo")
                 kind = "coo"
-        if kind in ("coo", "panel"):
+        if kind in ("coo", "panel", "ell"):
             # The GCN normalization of a symmetric adjacency is symmetric, so
             # the backward pass may reuse the forward arrays (gcn6.py:49-62).
             kwargs["symmetric"] = True if normalize else None

@@ -145,7 +145,8 @@ def dense_adjacency(g: CSRGraph) -> DenseAdj:
 def device_adjacency(g: CSRGraph, kind: str = "auto", **kwargs):
     """Lower a host CSRGraph to a device representation.
 
-    kind: "dense" | "coo" | "panel" | "auto" (dense when n <= 8192 else coo).
+    kind: "dense" | "coo" | "ell" | "panel" | "auto"
+    (dense when n <= 8192 else coo).
     """
     if kind == "auto":
         kind = "dense" if max(g.shape) <= 8192 else "coo"
@@ -153,6 +154,10 @@ def device_adjacency(g: CSRGraph, kind: str = "auto", **kwargs):
         return dense_adjacency(g)
     if kind == "coo":
         return coo_adjacency(g, **kwargs)
+    if kind == "ell":
+        from gcn_tpu.tile import ell_adjacency
+
+        return ell_adjacency(g, **kwargs)
     if kind == "panel":
         from gcn_tpu.tile import panel_adjacency
 

@@ -82,9 +82,14 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
         return jnp.dot(adj.mat, x, preferred_element_type=x.dtype)
     if isinstance(adj, CooAdj):
         return _spmm_coo(adj, x)
-    # PanelAdj — imported lazily to avoid a package cycle.
+    # Tiled formats — imported lazily to avoid a package cycle.
+    from gcn_tpu.tile.ell import EllAdj
     from gcn_tpu.tile.format import PanelAdj
 
+    if isinstance(adj, EllAdj):
+        from gcn_tpu.ops.ell_spmm import spmm_ell
+
+        return spmm_ell(adj, x)
     if isinstance(adj, PanelAdj):
         from gcn_tpu.ops.panel_spmm import spmm_panel
 

@@ -1,0 +1,174 @@
+"""Degree-sorted packed-stride ELL format (EllAdj) — the fast SpMM path.
+
+TPU-native successor to the reference's segment format (tile.cu:104-169).
+Design rationale, from measurements on TPU v5e:
+
+  * XLA's row gather (`jnp.take`) is **per-gathered-row bound**, and every
+    gathered row moves a full 128-lane (512 B for f32) tile regardless of
+    the feature width k — so at k=32 three quarters of the gather traffic
+    is lane padding. Packing P = 128/k_pad slots into each 128-lane row
+    (P independent gathers concatenated along lanes, which XLA fuses into
+    one loop) cuts the per-edge gather cost ~P-fold: measured 2.4 ns/edge
+    unpacked vs 1.05 ns/edge packed at k=32.
+  * Column order does not affect gather speed (sorted == random), so the
+    vertex order is free to serve the *scatter* side.
+  * XLA's `segment_sum` scatter is catastrophically slow (~17 ns/edge); a
+    Pallas kernel owns the reduction. A **fixed-stride** layout needs no
+    one-hot/iota work at all: the P slots of a packed row belong to the
+    same output row, so the reduction is (sum over pass blocks, then a
+    static lane-group fold) — pure VPU adds, exact f32.
+
+Layout: rows sorted by degree descending (windows become degree-
+homogeneous — the reference's row-skew analysis motif,
+row_analysis/row_analysis.py), cut into windows of R rows. Window w takes
+``passes_w = ceil(max_deg_in_window / P)`` pass-blocks. Pass-block p of
+window w is an (R, k_pad)-shaped slab of stride-summed "products" whose
+row r holds ``sum_j vals*x[cols]`` over that row's edges ``p*P + j``
+(the P-stream sum happens inside the XLA gather fusion). The Pallas
+kernel accumulates a window's pass-blocks with the VMEM-revisit pattern
+(out block index = win[block], nondecreasing):
+
+    out[win[b]] (+)= products[block b]          # (R, k_pad), VPU adds
+
+replacing flexspmm's per-warp FMA loops + atomicAdd split-row flags
+(flexspmm.cu:96-183, tile.cu:79-91) with race-free sequential-grid
+accumulation. Degree sorting replaces the reference's per-SM nnz bucketing
+(tile.cu:124-168): load balance comes from homogeneous windows, not work
+stealing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_tpu.graph.csr import CSRGraph
+
+DEFAULT_R = 128      # rows per output window
+DEFAULT_K_PAD = 32   # feature lanes per slot; P = 128 // k_pad slots/row
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cols", "vals", "win", "t_cols", "t_vals", "t_win"],
+    meta_fields=["n_rows", "n_cols", "nnz", "r", "k_pad", "symmetric"],
+)
+@dataclasses.dataclass(frozen=True)
+class EllAdj:
+    """Packed fixed-stride ELL adjacency (see module docstring).
+
+    ``cols``/``vals`` are (num_blocks, P, R): stream j (= ``cols[:, j, :]``
+    flattened) feeds the j-th stride gather. ``win`` is (num_blocks,)
+    int32, the output window of each pass-block — nondecreasing, every
+    window of ``ceil(n_rows/R)`` visited at least once. ``t_*`` mirror the
+    arrays for A^T (backward dX); aliased when symmetric.
+    """
+
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    win: jnp.ndarray
+    t_cols: jnp.ndarray
+    t_vals: jnp.ndarray
+    t_win: jnp.ndarray
+    n_rows: int
+    n_cols: int
+    nnz: int
+    r: int
+    k_pad: int
+    symmetric: bool
+
+    @property
+    def p(self) -> int:
+        return 128 // self.k_pad
+
+    @property
+    def num_blocks(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def num_windows(self) -> int:
+        return -(-self.n_rows // self.r)
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def pad_fraction(self) -> float:
+        total = self.cols.size
+        return 1.0 - self.nnz / total if total else 0.0
+
+
+def degree_sort_order(g: CSRGraph) -> np.ndarray:
+    """perm[new] = old, rows by degree descending (stable: preserves the
+    incoming — e.g. Rabbit community — order among equal degrees)."""
+    deg = np.diff(g.indptr)
+    return np.argsort(-deg, kind="stable").astype(np.int32)
+
+
+def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                n: int, r: int, p: int):
+    deg = np.diff(indptr).astype(np.int64)
+    num_windows = max(1, -(-n // r))
+    n_pad = num_windows * r
+    deg_pad = np.zeros(n_pad, dtype=np.int64)
+    deg_pad[:n] = deg
+    wmax = deg_pad.reshape(num_windows, r).max(axis=1)
+    passes = np.maximum(1, -(-wmax // p))            # >=1: window always written
+    pass_off = np.zeros(num_windows + 1, dtype=np.int64)
+    np.cumsum(passes, out=pass_off[1:])
+    num_blocks = int(pass_off[-1])
+
+    e = len(indices)
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    j = np.arange(e, dtype=np.int64) - np.repeat(indptr[:-1].astype(np.int64),
+                                                 deg)
+    w = rows // r
+    blk = pass_off[w] + j // p
+    cols = np.zeros((num_blocks, p, r), dtype=np.int32)
+    vals = np.zeros((num_blocks, p, r), dtype=np.float32)
+    cols[blk, j % p, rows - w * r] = indices
+    vals[blk, j % p, rows - w * r] = data
+    win = np.repeat(np.arange(num_windows, dtype=np.int32), passes)
+    return cols, vals, win
+
+
+def ell_adjacency(
+    g: CSRGraph,
+    *,
+    r: int = DEFAULT_R,
+    k_pad: int = DEFAULT_K_PAD,
+    symmetric: Optional[bool] = None,
+) -> EllAdj:
+    """Tile a CSR graph into the EllAdj device format for feature widths
+    <= ``k_pad`` (wider x is processed in k_pad-column chunks).
+
+    Best fill when rows are sorted by degree descending (compose
+    ``degree_sort_order`` into the reorder pipeline first); correct for any
+    row order.
+    """
+    assert r % 8 == 0, "row window must be sublane-aligned"
+    assert k_pad in (8, 16, 32, 64, 128), "k_pad must divide 128"
+    p = 128 // k_pad
+    if symmetric is None:
+        symmetric = g.shape[0] == g.shape[1] and g.is_symmetric()
+    n, m = g.shape
+    cols, vals, win = _ell_arrays(g.indptr, g.indices, g.data, n, r, p)
+    cols_j, vals_j, win_j = jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(win)
+    if symmetric:
+        t = (cols_j, vals_j, win_j)
+    else:
+        gt = g.transpose()
+        tc, tv, tw = _ell_arrays(gt.indptr, gt.indices, gt.data, m, r, p)
+        t = (jnp.asarray(tc), jnp.asarray(tv), jnp.asarray(tw))
+    return EllAdj(
+        cols=cols_j, vals=vals_j, win=win_j,
+        t_cols=t[0], t_vals=t[1], t_win=t[2],
+        n_rows=n, n_cols=m, nnz=g.nnz, r=r, k_pad=k_pad,
+        symmetric=bool(symmetric),
+    )

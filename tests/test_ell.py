@@ -1,0 +1,124 @@
+"""EllAdj format + Pallas ELL SpMM: tiler invariants, numerics, grads.
+
+Mirrors the reference's built-in tiler/kernel self-checks (tile.cu,
+renumber.cu:123-149) plus the numerical-parity strategy SURVEY.md §4 calls
+for. Runs on CPU via the Pallas interpreter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_tpu.graph.csr import CSRGraph, coo_to_csr
+from gcn_tpu.graph.normalize import gcn_normalize
+from gcn_tpu.ops.ell_spmm import spmm_ell
+from gcn_tpu.ops.spmm import spmm
+from gcn_tpu.tile.ell import EllAdj, degree_sort_order, ell_adjacency
+
+
+def random_graph(rng, n=120, m=900, symmetric=False):
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    vals = rng.random(m).astype(np.float32)
+    g = coo_to_csr(src, dst, vals, (n, n))
+    if symmetric:
+        g = gcn_normalize(g.symmetrize())
+    return g
+
+
+def test_tiler_conserves_nnz_and_values(rng):
+    g = random_graph(rng)
+    adj = ell_adjacency(g, r=16, k_pad=32)
+    # every (row, col, val) appears exactly once in the slot arrays
+    cols = np.asarray(adj.cols)
+    vals = np.asarray(adj.vals)
+    win = np.asarray(adj.win)
+    # reconstruct rows per slot: block b covers window win[b], row = w*r + slot_r
+    nb, p, r = cols.shape
+    rows = (win[:, None, None] * r
+            + np.broadcast_to(np.arange(r), (nb, p, r))).reshape(-1)
+    mask = vals.reshape(-1) != 0
+    rec = sorted(zip(rows[mask],
+                     cols.reshape(-1)[mask],
+                     vals.reshape(-1)[mask]))
+    rows_ref = np.repeat(np.arange(g.shape[0]), np.diff(g.indptr))
+    ref_mask = g.data != 0
+    ref = sorted(zip(rows_ref[ref_mask], g.indices[ref_mask],
+                     g.data[ref_mask]))
+    assert len(rec) == len(ref)
+    for (a, b, c), (d, e, f) in zip(rec, ref):
+        assert a == d and b == e and c == f
+
+
+def test_every_window_visited(rng):
+    g = random_graph(rng, n=100, m=50)  # sparse: some windows empty
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    win = np.asarray(adj.win)
+    assert (np.diff(win) >= 0).all(), "win must be nondecreasing"
+    assert set(win) == set(range(adj.num_windows))
+
+
+@pytest.mark.parametrize("k,k_pad,r", [
+    (32, 32, 16), (4, 32, 16), (16, 16, 8), (48, 32, 16), (64, 64, 8),
+])
+def test_matches_dense_f64(rng, k, k_pad, r):
+    g = random_graph(rng, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    adj = ell_adjacency(g, r=r, k_pad=k_pad)
+    x = rng.standard_normal((g.shape[1], k)).astype(np.float32)
+    out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
+    ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_nonsymmetric_transpose_grad(rng):
+    g = random_graph(rng, n=64, m=400, symmetric=False)
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    assert not adj.symmetric
+    x = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((64, 8)).astype(np.float32))
+    _, vjp = jax.vjp(lambda xx: spmm_ell(adj, xx), x)
+    dx = np.asarray(vjp(ct)[0])
+    ref = g.to_dense().astype(np.float64).T @ np.asarray(ct, np.float64)
+    np.testing.assert_allclose(dx, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grad_through_loss(rng):
+    g = random_graph(rng, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    adj = ell_adjacency(g, r=16, k_pad=32)
+    x = jnp.asarray(rng.standard_normal((g.shape[0], 8)).astype(np.float32))
+    got = jax.grad(lambda xx: jnp.sum(spmm_ell(adj, xx) ** 2))(x)
+    dense = jnp.asarray(g.to_dense())
+    want = jax.grad(lambda xx: jnp.sum((dense @ xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_dispatcher_routes_ell(rng):
+    g = random_graph(rng, symmetric=True)
+    adj = ell_adjacency(g, r=16)
+    x = jnp.asarray(rng.standard_normal((g.shape[0], 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spmm(adj, x)), np.asarray(spmm_ell(adj, x)))
+
+
+def test_degree_sort_is_permutation_and_descending(rng):
+    g = random_graph(rng)
+    perm = degree_sort_order(g)
+    assert sorted(perm) == list(range(g.shape[0]))
+    deg = np.diff(g.indptr)
+    assert (np.diff(deg[perm]) <= 0).all()
+
+
+def test_jit_and_vmap_compatible_pytree(rng):
+    g = random_graph(rng, symmetric=True)
+    adj = ell_adjacency(g, r=16)
+    leaves, treedef = jax.tree_util.tree_flatten(adj)
+    adj2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(adj2, EllAdj)
+    x = jnp.asarray(rng.standard_normal((g.shape[0], 8)).astype(np.float32))
+    out = jax.jit(spmm_ell)(adj, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(spmm_ell(adj, x)),
+                               rtol=1e-5, atol=1e-6)
