@@ -1,0 +1,105 @@
+"""Aux subsystem tests: YAML config tags, checkpointing, CSV dumps,
+row-CDF analysis — the reference's observability/config surface
+(SURVEY.md §5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_tpu.analysis import plot_row_cdfs, row_cdf
+from gcn_tpu.graph.csr import coo_to_csr
+from gcn_tpu.utils.checkpoint import load_params, save_params, snapshot
+from gcn_tpu.utils.config import get_config
+from gcn_tpu.utils.writecsv import read as csv_read
+from gcn_tpu.utils.writecsv import write as csv_write
+
+
+def _graph(rng, n=40, m=200):
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    return coo_to_csr(src, dst, rng.random(m).astype(np.float32), (n, n))
+
+
+def test_config_join_concat_tags(tmp_path):
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text(
+        "root: &r {}\n"
+        "kind: &k hyper\n"
+        "name: &n Foo\n"
+        "sub: !join [*r, !concat [*k, _, *n]]\n"
+        "result_root: !join [*r, out]\n"
+        "ckpt_folder: !join [*r, out, ckpt]\n".format(tmp_path))
+    cfg = get_config(str(cfg_file))
+    assert cfg["sub"] == os.path.join(str(tmp_path), "hyper_Foo")
+    assert os.path.isdir(cfg["result_root"])
+    assert os.path.isdir(cfg["ckpt_folder"])
+
+
+def test_default_hgnn_config_parses(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # result dirs created relative to cwd
+    import gcn_tpu
+
+    path = os.path.join(os.path.dirname(gcn_tpu.__file__), "configs",
+                        "hgnn.yaml")
+    cfg = get_config(path)
+    assert cfg["n_hid"] == 128 and cfg["max_epoch"] == 600
+    assert cfg["K_neigs"] == [10]
+    assert cfg["result_sub_folder"].endswith("hypergraph_NTU2012")
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    params = {
+        "gc1": {"w": jnp.asarray(rng.standard_normal((8, 4)),
+                                 dtype=jnp.float32),
+                "b": jnp.zeros((4,))},
+        "gc2": {"w": jnp.asarray(rng.standard_normal((4, 3)),
+                                 dtype=jnp.float32)},
+    }
+    path = str(tmp_path / "ckpt.npz")
+    save_params(path, params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored = load_params(path, zeros)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    save_params(str(tmp_path / "c.npz"), {"w": jnp.zeros((3, 3))})
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_params(str(tmp_path / "c.npz"), {"w": jnp.zeros((2, 2))})
+
+
+def test_snapshot_is_host_copy(rng):
+    p = {"w": jnp.asarray(rng.standard_normal((4, 4)), dtype=jnp.float32)}
+    s = snapshot(p)
+    assert isinstance(s["w"], np.ndarray)
+    np.testing.assert_array_equal(s["w"], np.asarray(p["w"]))
+
+
+def test_writecsv_roundtrip(tmp_path, rng):
+    g = _graph(rng)
+    path = csv_write(g, "test_mat", str(tmp_path))
+    g2 = csv_read(path)
+    np.testing.assert_array_equal(g.indptr, g2.indptr)
+    np.testing.assert_array_equal(g.indices, g2.indices)
+    np.testing.assert_allclose(g.data, g2.data, rtol=1e-6)
+
+
+def test_writecsv_append_mode(tmp_path, rng):
+    g = _graph(rng)
+    p1 = csv_write(g, "a", str(tmp_path), append=False)
+    p2 = csv_write(g, "b", str(tmp_path), append=True)
+    assert open(p1).read() == open(p2).read()
+
+
+def test_row_cdf_and_plot(tmp_path, rng):
+    g = _graph(rng)
+    x, y = row_cdf(g)
+    assert y[-1] == pytest.approx(1.0)
+    assert (np.diff(y) >= 0).all()
+    out = plot_row_cdfs({"g": g}, str(tmp_path / "row.svg"))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
