@@ -138,12 +138,22 @@ def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     return cols, vals, win
 
 
+def _tile(indptr, indices, data, n, r, p, prefer_native):
+    if prefer_native:
+        from gcn_tpu.tile import native
+
+        if native.available():
+            return native.ell_arrays(indptr, indices, data, n, r, p)
+    return _ell_arrays(indptr, indices, data, n, r, p)
+
+
 def ell_adjacency(
     g: CSRGraph,
     *,
     r: int = DEFAULT_R,
     k_pad: int = DEFAULT_K_PAD,
     symmetric: Optional[bool] = None,
+    prefer_native: bool = True,
 ) -> EllAdj:
     """Tile a CSR graph into the EllAdj device format for feature widths
     <= ``k_pad`` (wider x is processed in k_pad-column chunks).
@@ -158,13 +168,15 @@ def ell_adjacency(
     if symmetric is None:
         symmetric = g.shape[0] == g.shape[1] and g.is_symmetric()
     n, m = g.shape
-    cols, vals, win = _ell_arrays(g.indptr, g.indices, g.data, n, r, p)
+    cols, vals, win = _tile(g.indptr, g.indices, g.data, n, r, p,
+                            prefer_native)
     cols_j, vals_j, win_j = jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(win)
     if symmetric:
         t = (cols_j, vals_j, win_j)
     else:
         gt = g.transpose()
-        tc, tv, tw = _ell_arrays(gt.indptr, gt.indices, gt.data, m, r, p)
+        tc, tv, tw = _tile(gt.indptr, gt.indices, gt.data, m, r, p,
+                           prefer_native)
         t = (jnp.asarray(tc), jnp.asarray(tv), jnp.asarray(tw))
     return EllAdj(
         cols=cols_j, vals=vals_j, win=win_j,

@@ -122,3 +122,31 @@ def test_jit_and_vmap_compatible_pytree(rng):
     out = jax.jit(spmm_ell)(adj, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(spmm_ell(adj, x)),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_native_tiler_matches_numpy(rng):
+    from gcn_tpu.tile import native
+    from gcn_tpu.tile.ell import _ell_arrays
+
+    if not native.available():
+        pytest.skip("native tiler not built")
+    g = random_graph(rng, n=150, m=1200, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    for r, p in [(8, 4), (16, 2), (32, 1)]:
+        ref = _ell_arrays(g.indptr, g.indices, g.data, g.shape[0], r, p)
+        nat = native.ell_arrays(g.indptr, g.indices, g.data, g.shape[0], r, p)
+        for a, b in zip(ref, nat):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_tiler_used_by_default(rng):
+    from gcn_tpu.tile import native
+
+    if not native.available():
+        pytest.skip("native tiler not built")
+    g = random_graph(rng, symmetric=True)
+    a1 = ell_adjacency(g, r=16, prefer_native=True)
+    a2 = ell_adjacency(g, r=16, prefer_native=False)
+    np.testing.assert_array_equal(np.asarray(a1.cols), np.asarray(a2.cols))
+    np.testing.assert_array_equal(np.asarray(a1.vals), np.asarray(a2.vals))
+    np.testing.assert_array_equal(np.asarray(a1.win), np.asarray(a2.win))
