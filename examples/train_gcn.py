@@ -24,12 +24,17 @@ def main():
     ap.add_argument("--variant", default="v4",
                     choices=["v1", "v2", "v3", "v4", "v5", "v6"])
     ap.add_argument("--adj", default=None,
-                    help="adjacency representation: dense|coo|panel|auto")
+                    help="adjacency representation: dense|coo|ell|panel|auto")
     ap.add_argument("--reorder", default=None,
                     help="identity|degree|dfs|rcm|gorder|rabbit")
     ap.add_argument("--with-val", action="store_true")
     ap.add_argument("--seed", type=int, default=15)  # profiling_gcn.py:76-80
     ap.add_argument("--verbose", action="store_true", default=True)
+    ap.add_argument("--save-path", default=None,
+                    help="save trained params (npz) after fit")
+    ap.add_argument("--load-path", default=None,
+                    help="load params instead of training (the reference's "
+                         "TEST branch, profiling_gcn.py:166-170)")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +54,19 @@ def main():
         variant=args.variant, adj_kind=args.adj, reorder=args.reorder,
         seed=args.seed,
     )
+    if args.load_path:
+        model.load(args.load_path)
+        lp = model.predict(data.features, data.adj)
+        import jax.numpy as jnp
+
+        from gcn_tpu.train.metrics import accuracy
+
+        acc = float(accuracy(lp, jnp.asarray(data.labels),
+                             jnp.asarray(np.asarray(data.idx_test),
+                                         dtype=jnp.int32)))
+        print(f"Loaded params: test accuracy= {acc:.4f}")
+        return acc
+
     t0 = time.time()
     model.fit(
         data.features, data.adj, data.labels, data.idx_train,
@@ -58,6 +76,9 @@ def main():
     print(f"fit done in {time.time()-t0:.2f}s")
     print(model.timers.report())
     acc = model.test(data.idx_test)
+    if args.save_path:
+        model.save(args.save_path)
+        print(f"saved params to {args.save_path}")
     return acc
 
 

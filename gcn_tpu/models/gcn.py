@@ -245,6 +245,26 @@ class GCN:
                          with_relu=self.with_relu, train=False)
         return lp
 
+    def save(self, path: str) -> None:
+        """Save trained parameters (the torch.save analogue,
+        profiling_gcn.py:165)."""
+        from gcn_tpu.utils.checkpoint import save_params
+
+        assert self.params is not None, "nothing to save: call fit() first"
+        save_params(path, self.params)
+
+    def load(self, path: str) -> "GCN":
+        """Load parameters saved by ``save`` (the TEST branch analogue,
+        profiling_gcn.py:166-170)."""
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.utils.checkpoint import load_params
+
+        like = self.params if self.params is not None else init_gcn_params(
+            jax.random.PRNGKey(self.seed), self.nfeat, self.nhid,
+            self.nclass, self.with_bias, self.dtype)
+        self.params = load_params(path, like)
+        return self
+
     def test(self, idx_test, verbose: bool = True):
         """Test accuracy on stored outputs (cf. gcn6.py:527-546)."""
         idx = jnp.asarray(np.asarray(idx_test), dtype=jnp.int32)

@@ -135,3 +135,23 @@ def test_predict_on_new_graph(data):
     lp = model.predict(data.features, data.adj)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(model.output),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gcn_save_load_roundtrip(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from gcn_tpu.data import get_dataset
+    from gcn_tpu.models import GCN
+
+    data = get_dataset("synth-tiny", seed=1)
+    m = GCN(data.num_features, 8, data.num_classes, variant="v1", seed=0)
+    m.fit(data.features, data.adj, data.labels, data.idx_train,
+          train_iters=3)
+    path = str(tmp_path / "gcn.npz")
+    m.save(path)
+    m2 = GCN(data.num_features, 8, data.num_classes, variant="v1", seed=0)
+    m2.load(path)
+    lp1 = m.predict(data.features, data.adj)
+    lp2 = m2.predict(data.features, data.adj)
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2),
+                               rtol=1e-6, atol=1e-6)
