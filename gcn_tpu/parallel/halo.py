@@ -1,0 +1,139 @@
+"""Halo exchange: send only the boundary activations a shard actually needs.
+
+The baseline distributed SpMM all-gathers every band (n*k floats per layer
+per device, gcn_tpu.parallel.spmm_dist). After a locality reorder most
+edges are intra-band, so each shard references only a small boundary set of
+off-shard rows. This module builds a static exchange plan from the graph
+structure and swaps the all_gather for one ``all_to_all`` whose payload is
+just those boundary rows — the context-parallel-style edge partition the
+survey calls for (SURVEY.md §5 "long-context" row, §7 step 8).
+
+Plan arrays (leading axis = device, shard_map-ready):
+
+  send_idx  int32[src, dst, H]   local row ids src must ship to dst;
+                                 the self slice (src == dst) is zeros —
+                                 local columns never leave the chip, the
+                                 kernel reads them straight from the band
+  col_remap int32[dst, e_max]    per edge: flat index into
+                                 concat(halo, own band): off-shard edges
+                                 map to src*H + position, on-shard edges
+                                 to n_shards*H + local_row
+
+H is the max boundary size over off-shard (dst, src) pairs, so per-device
+exchange bytes are n_shards*H*k*4 versus n*k*4 for the all-gather;
+``HaloPlan.exchange_fraction`` reports the ratio. Differentiating through
+the step works out of the box: the transpose of all_to_all is all_to_all
+and the transpose of the send-gather is a scatter-add back onto the band.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gcn_tpu.parallel.partition import ShardedGraph
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["send_idx", "col_remap"],
+    meta_fields=["h_max", "n_shards", "n_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    send_idx: jnp.ndarray   # int32[n_shards, n_shards, h_max]
+    col_remap: jnp.ndarray  # int32[n_shards, e_max]
+    h_max: int
+    n_shards: int
+    n_rows: int
+
+    @property
+    def exchange_fraction(self) -> float:
+        """Per-device exchanged rows vs the all-gather's full row count."""
+        return self.n_shards * self.h_max / max(self.n_rows, 1)
+
+
+def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
+    """Static boundary-exchange plan from a row-banded graph."""
+    ns, rps = sg.n_shards, sg.rows_per_shard
+    cols = np.asarray(sg.cols)
+    vals = np.asarray(sg.vals)
+    e_max = cols.shape[1]
+
+    needed = {}
+    h_max = 1
+    for d in range(ns):
+        real = vals[d] != 0
+        src = cols[d] // rps
+        lid = cols[d] % rps
+        for s in range(ns):
+            if s == d:
+                continue  # on-shard columns read directly from the band
+            u = np.unique(lid[real & (src == s)])
+            needed[d, s] = u
+            h_max = max(h_max, len(u))
+    h_max = _round_up(h_max, 8)
+
+    send_idx = np.zeros((ns, ns, h_max), dtype=np.int32)
+    col_remap = np.zeros((ns, e_max), dtype=np.int32)
+    for d in range(ns):
+        src = cols[d] // rps
+        lid = cols[d] % rps
+        real = vals[d] != 0
+        for s in range(ns):
+            sel = src == s
+            if s == d:
+                col_remap[d, sel] = ns * h_max + lid[sel]
+                continue
+            u = needed[d, s]
+            send_idx[s, d, :len(u)] = u
+            pos = np.searchsorted(u, lid[sel])
+            # real edges must resolve exactly; padding edges just need to
+            # stay in range (their val is 0)
+            pos = np.minimum(pos, max(len(u) - 1, 0))
+            if len(u):
+                ok = u[pos[real[sel]]] == lid[sel][real[sel]]
+                assert ok.all(), "halo plan missed a referenced boundary row"
+            col_remap[d, sel] = s * h_max + pos
+    return HaloPlan(
+        send_idx=jnp.asarray(send_idx), col_remap=jnp.asarray(col_remap),
+        h_max=h_max, n_shards=ns, n_rows=sg.n_rows,
+    )
+
+
+def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
+                   rows_per_shard: int, axis_name: str = "data"
+                   ) -> jnp.ndarray:
+    """SpMM of the local row band with boundary-only exchange.
+
+    Must be called inside shard_map over ``axis_name``. shard_arrays is the
+    per-device (rows_local, cols_unused, vals); plan_arrays the per-device
+    (send_idx (1, ns, H) or (ns, H), col_remap (1, e_max) or (e_max,)).
+    """
+    rows_local, _, vals = shard_arrays
+    rows_local = rows_local.reshape(-1)
+    vals = vals.reshape(-1)
+    send_idx, col_remap = plan_arrays
+    ns_h = tuple(send_idx.shape[-2:])
+    send_idx = send_idx.reshape(ns_h)          # (n_shards, H)
+    col_remap = col_remap.reshape(-1)          # (e_max,)
+
+    send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
+    send = send.reshape(ns_h + (x_band.shape[1],))
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
+    halo = recv.reshape(ns_h[0] * ns_h[1], x_band.shape[1])
+    table = jnp.concatenate([halo, x_band], axis=0)
+
+    gathered = jnp.take(table, col_remap, axis=0) * vals[:, None].astype(
+        x_band.dtype)
+    return jax.ops.segment_sum(gathered, rows_local,
+                               num_segments=rows_per_shard,
+                               indices_are_sorted=True)

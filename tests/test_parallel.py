@@ -125,3 +125,99 @@ def test_grad_matches_single_device(setup):
 
     loss_ref, grads_ref = jax.value_and_grad(ref_loss)(params)
     assert abs(float(loss_sharded) - float(loss_ref)) < 1e-4
+
+
+class TestHaloExchange:
+    def _setup(self, rng, n=256, n_shards=4):
+        from gcn_tpu.data.synthetic import class_features, sbm
+        from gcn_tpu.graph.normalize import gcn_normalize
+        from gcn_tpu.parallel import (build_halo_plan, create_mesh,
+                                      make_sharded_gcn_train_step,
+                                      shard_graph_by_rows)
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        adj, labels = sbm(n=n, n_classes=4, avg_degree=8.0, seed=3)
+        g = gcn_normalize(adj)
+        x = class_features(labels, feat_dim=16, seed=3)
+        sg = shard_graph_by_rows(g, n_shards)
+        return g, x, labels, sg
+
+    def test_plan_covers_all_real_edges(self, rng):
+        from gcn_tpu.parallel import build_halo_plan, shard_graph_by_rows
+
+        g, x, labels, sg = self._setup(rng)
+        plan = build_halo_plan(sg)
+        # every real edge's remap points at a halo slot holding its column
+        send = np.asarray(plan.send_idx)
+        remap = np.asarray(plan.col_remap)
+        cols = np.asarray(sg.cols)
+        vals = np.asarray(sg.vals)
+        rps = sg.rows_per_shard
+        ns, h = sg.n_shards, plan.h_max
+        for d in range(sg.n_shards):
+            real = vals[d] != 0
+            r = remap[d][real]
+            local = r >= ns * h
+            # on-shard edges: direct band offset
+            np.testing.assert_array_equal(
+                d * rps + (r[local] - ns * h), cols[d][real][local])
+            # off-shard edges: resolve through the send tables
+            s = r[~local] // h
+            pos = r[~local] % h
+            reconstructed = s * rps + send[s, d, pos]
+            np.testing.assert_array_equal(reconstructed, cols[d][real][~local])
+
+    def test_halo_matches_all_gather_training(self, rng):
+        import jax
+
+        from gcn_tpu.parallel import create_mesh, make_sharded_gcn_train_step
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        g, x, labels, sg = self._setup(rng)
+        mesh = create_mesh(4)
+        tx = adam_l2(0.01, 5e-4)
+        mask = np.ones(g.shape[0], np.float32)
+
+        results = {}
+        for exchange in ("halo", "all_gather"):
+            from gcn_tpu.models.gcn_core import init_gcn_params
+
+            params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+            step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                mesh, sg, tx, dropout=0.0, exchange=exchange)
+            adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                       pad_rows(labels, sg),
+                                       pad_rows(mask, sg))
+            opt_state = tx.init(params)
+            losses = []
+            for i in range(3):
+                params, opt_state, loss = step(params, opt_state,
+                                               jax.random.PRNGKey(7), adj,
+                                               xs, ys, ms)
+                losses.append(float(loss))
+            results[exchange] = (losses, np.asarray(eval_fn(params, adj, xs)))
+
+        np.testing.assert_allclose(results["halo"][0],
+                                   results["all_gather"][0],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(results["halo"][1],
+                                   results["all_gather"][1],
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_exchange_fraction_small_for_banded_graph(self, rng):
+        from gcn_tpu.graph.csr import coo_to_csr
+        from gcn_tpu.graph.normalize import gcn_normalize
+        from gcn_tpu.parallel import build_halo_plan, shard_graph_by_rows
+
+        # locality-ordered graph: edges within +-4 positions, so only the
+        # band seams are boundary rows -> halo must be far below all-gather
+        n = 512
+        src = np.repeat(np.arange(n), 4)
+        dst = (src + rng.integers(1, 5, src.shape)) % n
+        g = gcn_normalize(coo_to_csr(
+            src, dst, np.ones(len(src), np.float32), (n, n)).symmetrize())
+        sg = shard_graph_by_rows(g, 4)
+        plan = build_halo_plan(sg)
+        assert plan.exchange_fraction < 0.35, plan.exchange_fraction
