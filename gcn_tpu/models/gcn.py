@@ -140,6 +140,7 @@ class GCN:
         patience: int = 500,
         mode: str = "auto",
         name: str = "dataset",
+        jit_loop: bool = True,
     ):
         del name  # dataset-name-keyed behavior is dimension-driven here
         g = _as_csr(adj)
@@ -222,7 +223,7 @@ class GCN:
             self.labels, idx_train, idx_val, train_iters=train_iters,
             mode=mode, patience=patience,
             rng=jax.random.PRNGKey(self.seed + 1), verbose=verbose,
-            timers=self.timers)
+            timers=self.timers, jit_loop=jit_loop)
         self.params = result.params
         lp = np.asarray(result.log_probs)
         if self.perm is not None:

@@ -11,6 +11,14 @@ The step (forward + loss + backward + Adam update) is a single jitted
 function; fwd/bwd wall times are measured device-fenced per iteration, with
 the reference's warmup convention (timers reset after iteration 10,
 gcn5.py:273-291) available via ``warmup``.
+
+By default the whole training loop compiles as one ``lax.scan``
+(``jit_loop=True``): best-val / early-stopping state (best-params snapshot,
+patience counter) is carried through the scan with tree-select updates, so
+training runs in a single device dispatch — the idiomatic TPU shape, and a
+large win wherever per-call dispatch latency is non-trivial. Pass
+``jit_loop=False`` for the per-iteration loop with the reference's
+per-step device-fenced timing printout.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gcn_tpu.train.metrics import accuracy, masked_nll
 from gcn_tpu.utils.timers import Timers
@@ -49,6 +58,7 @@ def fit_gcn(
     verbose: bool = False,
     warmup: int = 10,
     timers: Optional[Timers] = None,
+    jit_loop: bool = True,
 ) -> TrainResult:
     if mode == "auto":
         mode = "no_val" if idx_val is None else "val"
@@ -79,6 +89,12 @@ def fit_gcn(
     def eval_step(p):
         lp = forward(p, False, rng)
         return lp
+
+    if jit_loop:
+        return _fit_scanned(params, opt_state, train_step, eval_step,
+                            labels, idx_val, train_iters=train_iters,
+                            mode=mode, patience=patience, rng=rng,
+                            verbose=verbose, timers=timers)
 
     best_params, best_lp = params, None
     best_loss_val = jnp.inf
@@ -137,3 +153,105 @@ def fit_gcn(
         best_iter = train_iters - 1
     return TrainResult(params=best_params, log_probs=best_lp, timers=timers,
                        history=history, best_iter=best_iter)
+
+
+def _fit_scanned(params, opt_state, train_step, eval_step, labels, idx_val,
+                 *, train_iters, mode, patience, rng, verbose, timers):
+    """Whole-training-run lax.scan: one device dispatch for the full loop.
+
+    Best-val snapshots are tree-selects on the scan carry; early stopping
+    becomes a pass-through guard (stopped iterations are cheap cond
+    branches — the reference semantics, gcn1.py:277-292, with a compiled
+    loop)."""
+    track_val = mode in ("val", "early_stop")
+
+    def val_metrics(p):
+        lp = eval_step(p)
+        return (masked_nll(lp, labels, idx_val), accuracy(lp, labels, idx_val))
+
+    def body(carry, it):
+        (p, o, r, best_p, best_loss, best_acc, best_it, pat, stop) = carry
+        r, step_rng = jax.random.split(r)
+
+        def run(_):
+            p2, o2, loss = train_step(p, o, step_rng)
+            return p2, o2, loss
+
+        def skip(_):
+            return p, o, jnp.float32(jnp.nan)
+
+        p2, o2, loss = jax.lax.cond(stop, skip, run, None)
+
+        if track_val:
+            loss_val, acc_val = val_metrics(p2)
+            if mode == "val":
+                # best-val-loss then best-val-acc snapshots, later
+                # improvement winning (gcn1.py:239-254)
+                take = jnp.logical_and(jnp.logical_not(stop),
+                                       loss_val < best_loss)
+                best_loss = jnp.where(take, loss_val, best_loss)
+                best_p = jax.tree_util.tree_map(
+                    lambda b, n: jnp.where(take, n, b), best_p, p2)
+                best_it = jnp.where(take, it, best_it)
+                take2 = jnp.logical_and(jnp.logical_not(stop),
+                                        acc_val > best_acc)
+                best_acc = jnp.where(take2, acc_val, best_acc)
+                best_p = jax.tree_util.tree_map(
+                    lambda b, n: jnp.where(take2, n, b), best_p, p2)
+                best_it = jnp.where(take2, it, best_it)
+            else:  # early_stop: patience on val loss (gcn1.py:277-292)
+                improved = jnp.logical_and(jnp.logical_not(stop),
+                                           loss_val < best_loss)
+                best_loss = jnp.where(improved, loss_val, best_loss)
+                best_p = jax.tree_util.tree_map(
+                    lambda b, n: jnp.where(improved, n, b), best_p, p2)
+                best_it = jnp.where(improved, it, best_it)
+                pat = jnp.where(improved, patience,
+                                jnp.where(stop, pat, pat - 1))
+                stop = jnp.logical_or(
+                    stop, jnp.logical_and(it > patience, pat <= 0))
+        else:
+            loss_val = acc_val = jnp.float32(jnp.nan)
+
+        out = (loss, loss_val, acc_val)
+        return (p2, o2, r, best_p, best_loss, best_acc, best_it, pat,
+                stop), out
+
+    carry0 = (params, opt_state, rng, params, jnp.float32(jnp.inf),
+              jnp.float32(-jnp.inf), jnp.int32(-1), jnp.int32(patience),
+              jnp.bool_(False))
+
+    @jax.jit
+    def run_all(c0):
+        return jax.lax.scan(body, c0, jnp.arange(train_iters))
+
+    with timers("fit_scan").d as t:
+        carry, (losses, losses_val, accs_val) = run_all(carry0)
+        t.fence(losses)
+    (p_fin, _, _, best_p, best_loss, _, best_it, _, stopped) = carry
+
+    losses = np.asarray(losses)
+    history = []
+    for i in range(train_iters):
+        rec = {"iter": i, "loss_train": float(losses[i])}
+        if track_val:
+            rec["loss_val"] = float(np.asarray(losses_val)[i])
+            rec["acc_val"] = float(np.asarray(accs_val)[i])
+        if np.isnan(rec["loss_train"]):  # early-stopped tail
+            break
+        history.append(rec)
+        if verbose and i % 10 == 0:
+            msg = f"Epoch {i:4d}, training loss: {rec['loss_train']:.6f}"
+            if track_val:
+                msg += (f", val loss: {rec['loss_val']:.6f}"
+                        f", val acc: {rec['acc_val']:.4f}")
+            print(msg)
+    if verbose and bool(stopped):
+        print(f"=== early stopping at iteration {len(history)}, "
+              f"best val loss {float(best_loss):.4f} ===")
+
+    if mode == "no_val":
+        best_p, best_it = p_fin, train_iters - 1
+    best_lp = eval_step(best_p)
+    return TrainResult(params=best_p, log_probs=best_lp, timers=timers,
+                       history=history, best_iter=int(best_it))
