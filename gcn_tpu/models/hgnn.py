@@ -92,14 +92,22 @@ class HGNN:
 
     def fit(self, features, G, labels, idx_train, idx_val=None, *,
             num_epochs: int = 600, verbose: bool = False,
-            print_freq: int = 100):
+            print_freq: int = 100, jit_loop: bool = True):
         if isinstance(G, CSRGraph):
             g_csr = G
         elif hasattr(G, "tocsr"):
             g_csr = CSRGraph.from_scipy(G)
         else:
             g_csr = CSRGraph.from_dense(np.asarray(G))
-        adj = device_adjacency(g_csr, self.adj_kind)
+        kind = self.adj_kind
+        if kind == "auto" and max(g_csr.shape) > 8192:
+            # large hypergraph: packed-ELL kernel at the HGNN hidden width
+            kind = "ell"
+        if kind == "ell":
+            adj = device_adjacency(
+                g_csr, "ell", k_pad=128 if self.n_hid > 64 else 32)
+        else:
+            adj = device_adjacency(g_csr, kind)
         x = jnp.asarray(np.asarray(features), dtype=jnp.float32)
         labels = jnp.asarray(np.asarray(labels))
         idx_train = jnp.asarray(np.asarray(idx_train), dtype=jnp.int32)
@@ -129,24 +137,62 @@ class HGNN:
         def evaluate(p):
             return hgnn_forward(p, x, adj, train=False)
 
-        best_params = self.params
-        for epoch in range(num_epochs):
-            rng, r = jax.random.split(rng)
-            with self.timers("epoch").d as t:
-                self.params, opt_state, loss = step(self.params, opt_state, r)
-                t.fence(loss)
-            if idx_val is not None:
-                logits = evaluate(self.params)
-                acc = float(accuracy(jax.nn.log_softmax(logits, 1),
-                                     labels, idx_val))
-                if acc > self.best_acc:
-                    self.best_acc = acc
-                    best_params = self.params
-            if verbose and epoch % print_freq == 0:
-                msg = f"Epoch {epoch}/{num_epochs} loss {float(loss):.4f}"
+        if jit_loop:
+            # whole-run lax.scan: one device dispatch (see train/loop.py)
+            def body(carry, _):
+                p, o, r, best_p, best_acc = carry
+                r, rr = jax.random.split(r)
+                p, o, loss = step(p, o, rr)
                 if idx_val is not None:
-                    msg += f" val_acc {acc:.4f} best {self.best_acc:.4f}"
-                print(msg)
+                    acc = accuracy(jax.nn.log_softmax(evaluate(p), 1),
+                                   labels, idx_val)
+                    take = acc > best_acc
+                    best_acc = jnp.where(take, acc, best_acc)
+                    best_p = jax.tree_util.tree_map(
+                        lambda b, n: jnp.where(take, n, b), best_p, p)
+                else:
+                    acc = jnp.float32(jnp.nan)
+                return (p, o, r, best_p, best_acc), (loss, acc)
+
+            @jax.jit
+            def run_all(c0):
+                return jax.lax.scan(body, c0, None, length=num_epochs)
+
+            c0 = (self.params, opt_state, rng, self.params,
+                  jnp.float32(-jnp.inf))
+            with self.timers("fit_scan").d as t:
+                carry, (losses, accs) = run_all(c0)
+                t.fence(losses)
+            self.params, _, _, best_params, best_acc = carry
+            if idx_val is not None:
+                self.best_acc = float(best_acc)
+            if verbose:
+                for e in range(0, num_epochs, print_freq):
+                    msg = (f"Epoch {e}/{num_epochs} "
+                           f"loss {float(np.asarray(losses)[e]):.4f}")
+                    if idx_val is not None:
+                        msg += f" val_acc {float(np.asarray(accs)[e]):.4f}"
+                    print(msg)
+        else:
+            best_params = self.params
+            for epoch in range(num_epochs):
+                rng, r = jax.random.split(rng)
+                with self.timers("epoch").d as t:
+                    self.params, opt_state, loss = step(self.params,
+                                                        opt_state, r)
+                    t.fence(loss)
+                if idx_val is not None:
+                    logits = evaluate(self.params)
+                    acc = float(accuracy(jax.nn.log_softmax(logits, 1),
+                                         labels, idx_val))
+                    if acc > self.best_acc:
+                        self.best_acc = acc
+                        best_params = self.params
+                if verbose and epoch % print_freq == 0:
+                    msg = f"Epoch {epoch}/{num_epochs} loss {float(loss):.4f}"
+                    if idx_val is not None:
+                        msg += f" val_acc {acc:.4f} best {self.best_acc:.4f}"
+                    print(msg)
         if idx_val is not None:
             self.params = best_params
         self.output = evaluate(self.params)

@@ -103,3 +103,39 @@ def test_row_cdf_and_plot(tmp_path, rng):
     assert (np.diff(y) >= 0).all()
     out = plot_row_cdfs({"g": g}, str(tmp_path / "row.svg"))
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_permute_rows_roundtrip(rng):
+    import jax.numpy as jnp
+
+    from gcn_tpu.ops import inverse_permutation, permute_rows, remap_indices
+
+    n = 50
+    x = jnp.asarray(rng.standard_normal((n, 7)).astype(np.float32))
+    perm = rng.permutation(n).astype(np.int32)
+    y = permute_rows(x, perm)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[perm])
+    back = permute_rows(y, inverse_permutation(perm))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # labels[remap(idx)] after permuting labels == labels_orig[idx]
+    labels = rng.integers(0, 5, n)
+    labels_new = labels[perm]
+    idx = rng.integers(0, n, 12)
+    np.testing.assert_array_equal(
+        labels_new[np.asarray(remap_indices(idx, perm))], labels[idx])
+
+
+def test_row_analysis_cli(tmp_path):
+    import subprocess
+    import sys
+
+    out = tmp_path / "row.svg"
+    r = subprocess.run(
+        [sys.executable, "examples/row_analysis.py", "-g", "synth-tiny",
+         "-o", str(out)],
+        capture_output=True, text=True, timeout=300,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""},
+    )
+    assert r.returncode == 0, r.stderr
+    assert out.exists()
