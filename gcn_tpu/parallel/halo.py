@@ -137,3 +137,89 @@ def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
     return jax.ops.segment_sum(gathered, rows_local,
                                num_segments=rows_per_shard,
                                indices_are_sorted=True)
+
+
+# ---------------------------------------------------------------------------
+# ELL-kernel variant: the local band aggregation runs through the packed
+# Pallas SpMM (gcn_tpu.ops.ell_spmm) instead of segment_sum. The per-shard
+# matrix is the (rows_per_shard x table) band with columns remapped into
+# concat(halo, own band); its EllAdj carries explicit transpose arrays, so
+# the custom VJP produces d(table) and JAX differentiates the surrounding
+# concat / all_to_all / send-gather automatically.
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
+                      k_pad: int = 32):
+    """Per-shard EllAdj over the halo-remapped band matrices, stacked on a
+    leading shard axis (block counts padded to the max shard)."""
+    from gcn_tpu.graph.csr import CSRGraph, coo_to_csr
+    from gcn_tpu.tile.ell import EllAdj, ell_adjacency
+
+    ns, rps = sg.n_shards, sg.rows_per_shard
+    t_cols = ns * plan.h_max + rps
+    shards = []
+    for d in range(ns):
+        vals = np.asarray(sg.vals[d])
+        real = vals != 0
+        g_local = coo_to_csr(
+            np.asarray(sg.rows_local[d])[real],
+            np.asarray(plan.col_remap[d])[real],
+            vals[real], (rps, t_cols))
+        shards.append(ell_adjacency(g_local, r=r, k_pad=k_pad,
+                                    symmetric=False))
+
+    def _stack(field, pad_win_field=None):
+        arrs = [getattr(a, field) for a in shards]
+        nb_max = max(x.shape[0] for x in arrs)
+        out = []
+        for a, adj in zip(arrs, shards):
+            pad = nb_max - a.shape[0]
+            if pad:
+                if pad_win_field:  # win: revisit the last window harmlessly
+                    fill = jnp.full((pad,) + a.shape[1:], a[-1], a.dtype)
+                else:
+                    fill = jnp.zeros((pad,) + a.shape[1:], a.dtype)
+                a = jnp.concatenate([a, fill], axis=0)
+            out.append(a)
+        return jnp.stack(out)
+
+    stacked = {
+        "cols": _stack("cols"), "vals": _stack("vals"),
+        "win": _stack("win", pad_win_field=True),
+        "t_cols": _stack("t_cols"), "t_vals": _stack("t_vals"),
+        "t_win": _stack("t_win", pad_win_field=True),
+    }
+    meta = dict(n_rows=rps, n_cols=t_cols, nnz=shards[0].nnz, r=r,
+                k_pad=k_pad, symmetric=False)
+    return EllAdj(**stacked, **meta)
+
+
+def unstack_ell_shard(adj_stacked):
+    """Inside shard_map: drop the leading (length-1) shard axis."""
+    from gcn_tpu.tile.ell import EllAdj
+
+    sq = {f: getattr(adj_stacked, f).reshape(getattr(adj_stacked, f).shape[1:])
+          for f in ("cols", "vals", "win", "t_cols", "t_vals", "t_win")}
+    return EllAdj(**sq, n_rows=adj_stacked.n_rows, n_cols=adj_stacked.n_cols,
+                  nnz=adj_stacked.nnz, r=adj_stacked.r,
+                  k_pad=adj_stacked.k_pad, symmetric=False)
+
+
+def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,
+                       axis_name: str = "data") -> jnp.ndarray:
+    """Pallas-ELL SpMM of the local band with boundary-only exchange.
+
+    Must be called inside shard_map; ell_shard is the per-device EllAdj
+    (already unstacked), plan_arrays as in dist_spmm_halo."""
+    from gcn_tpu.ops.ell_spmm import spmm_ell
+
+    send_idx, _ = plan_arrays
+    ns_h = tuple(send_idx.shape[-2:])
+    send_idx = send_idx.reshape(ns_h)
+    send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
+    send = send.reshape(ns_h + (x_band.shape[1],))
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
+    halo = recv.reshape(ns_h[0] * ns_h[1], x_band.shape[1])
+    table = jnp.concatenate([halo, x_band], axis=0)
+    return spmm_ell(ell_shard, table)

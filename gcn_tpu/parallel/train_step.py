@@ -5,10 +5,19 @@ Full-batch GCN training with the graph row-partitioned across devices
 is explicit:
 
   * weights replicated; feature/label/mask rows sharded by band
-  * per layer: local dense XW (band rows), all_gather of the narrow
-    activations over ICI, local sorted-segment aggregation
+  * per layer: local dense XW (band rows), boundary exchange over ICI,
+    local aggregation
   * loss: per-band masked NLL, psum'd — differentiating through shard_map
-    transposes the collectives automatically (all_gather -> psum_scatter)
+    transposes the collectives automatically (all_to_all -> all_to_all,
+    all_gather -> psum_scatter)
+
+Knobs:
+  exchange="halo"        one all_to_all of just the boundary rows
+                         (gcn_tpu.parallel.halo) — the default
+  exchange="all_gather"  full-activation gather (simple baseline)
+  kernel="ell"           per-shard aggregation through the packed Pallas
+                         SpMM (gcn_tpu.ops.ell_spmm); requires halo
+  kernel="segsum"        XLA sorted-segment-sum (default: portable)
 
 New capability relative to the single-GPU reference (SURVEY.md §2d), shaped
 per BASELINE.md: edge partition + boundary exchange, aiming at >=90%
@@ -30,6 +39,12 @@ from gcn_tpu.parallel.partition import ShardedGraph
 from gcn_tpu.parallel.spmm_dist import dist_spmm_gathered
 
 
+def _shard_specs_like(tree, axis):
+    """P(axis, None, ...) for every array leaf of a pytree."""
+    return jax.tree_util.tree_map(
+        lambda leaf: P(axis, *([None] * (leaf.ndim - 1))), tree)
+
+
 def make_sharded_gcn_train_step(
     mesh: Mesh,
     sg: ShardedGraph,
@@ -39,44 +54,64 @@ def make_sharded_gcn_train_step(
     with_relu: bool = True,
     axis: str = "data",
     exchange: str = "halo",
+    kernel: str = "segsum",
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
     train_step(params, opt_state, rng, adj, x, labels, mask) -> (params,
     opt_state, loss); eval_fn(params, adj, x) -> log_probs (row-sharded);
     shard_fn places host arrays with the right shardings.
-
-    exchange: "halo" ships only boundary rows per layer via all_to_all
-    (gcn_tpu.parallel.halo — the default; after a community reorder this is
-    a small fraction of the all-gather bytes); "all_gather" exchanges full
-    activations (the simple baseline).
     """
     assert exchange in ("halo", "all_gather")
+    assert kernel in ("segsum", "ell")
     rps = sg.rows_per_shard
+
+    # --- aggregation strategy -------------------------------------------
     if exchange == "halo":
-        from gcn_tpu.parallel.halo import build_halo_plan, dist_spmm_halo
+        from gcn_tpu.parallel.halo import build_halo_plan
 
         plan = build_halo_plan(sg)
         plan_dev = (plan.send_idx, plan.col_remap)
-
-        def band_spmm(adj_shard, plan_shard, h):
-            return dist_spmm_halo(adj_shard, plan_shard, h, rps, axis)
     else:
         plan = None
         plan_dev = (jnp.zeros((sg.n_shards, 1, 1), jnp.int32),
                     jnp.zeros((sg.n_shards, 1), jnp.int32))
 
-        def band_spmm(adj_shard, plan_shard, h):
-            del plan_shard
-            return dist_spmm_gathered(adj_shard, h, rps, axis)
+    if kernel == "ell":
+        assert exchange == "halo", "kernel='ell' requires exchange='halo'"
+        from gcn_tpu.parallel.halo import (build_sharded_ell,
+                                           dist_spmm_halo_ell,
+                                           unstack_ell_shard)
 
-    def forward_band(params, adj_shard, plan_shard, x_band, rng, train):
+        ell_stacked = build_sharded_ell(sg, plan)
+
+        def band_spmm(extra_shard, plan_shard, h):
+            return dist_spmm_halo_ell(unstack_ell_shard(extra_shard),
+                                      plan_shard, h, axis)
+
+        extra_dev = ell_stacked
+    elif exchange == "halo":
+        from gcn_tpu.parallel.halo import dist_spmm_halo
+
+        def band_spmm(extra_shard, plan_shard, h):
+            return dist_spmm_halo(extra_shard, plan_shard, h, rps, axis)
+
+        extra_dev = None  # filled with the COO triple at call time
+    else:
+        def band_spmm(extra_shard, plan_shard, h):
+            del plan_shard
+            return dist_spmm_gathered(extra_shard, h, rps, axis)
+
+        extra_dev = None
+
+    # --- forward over one band ------------------------------------------
+    def forward_band(params, extra_shard, plan_shard, x_band, rng, train):
         w1, b1 = params["gc1"]["w"], params["gc1"].get("b")
         w2, b2 = params["gc2"]["w"], params["gc2"].get("b")
         # bias is added AFTER aggregation, matching GraphConvolution:
         # out = A (X W) + b (gcn1.py:52-57)
         h = jnp.dot(x_band, w1, preferred_element_type=x_band.dtype)
-        h = band_spmm(adj_shard, plan_shard, h)
+        h = band_spmm(extra_shard, plan_shard, h)
         if b1 is not None:
             h = h + b1
         if with_relu:
@@ -85,21 +120,23 @@ def make_sharded_gcn_train_step(
                 band_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
                 h = dropout_fn(band_rng, h, dropout, train=True)
         h = jnp.dot(h, w2, preferred_element_type=h.dtype)
-        h = band_spmm(adj_shard, plan_shard, h)
+        h = band_spmm(extra_shard, plan_shard, h)
         if b2 is not None:
             h = h + b2
         return jax.nn.log_softmax(h, axis=1)
 
-    adj_spec = (P(axis, None), P(axis, None), P(axis, None))
-    plan_spec = (P(axis, None, None), P(axis, None))
+    coo_triple = (sg.rows_local, sg.cols, sg.vals)
+    extra = extra_dev if extra_dev is not None else coo_triple
+    extra_spec = _shard_specs_like(extra, axis)
+    plan_spec = _shard_specs_like(plan_dev, axis)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), adj_spec, plan_spec, P(axis, None), P(axis),
+             in_specs=(P(), extra_spec, plan_spec, P(axis, None), P(axis),
                        P(axis), P()),
-             out_specs=P())
-    def loss_shmap(params, adj_shard, plan_shard, x_band, y_band, mask_band,
-                   rng):
-        lp = forward_band(params, adj_shard, plan_shard, x_band, rng,
+             out_specs=P(), check_vma=False)
+    def loss_shmap(params, extra_shard, plan_shard, x_band, y_band,
+                   mask_band, rng):
+        lp = forward_band(params, extra_shard, plan_shard, x_band, rng,
                           train=True)
         picked = jnp.take_along_axis(lp, y_band[:, None], axis=1)[:, 0]
         loss_sum = -jnp.sum(picked * mask_band)
@@ -109,26 +146,25 @@ def make_sharded_gcn_train_step(
 
     @jax.jit
     def train_step(params, opt_state, rng, adj, x, labels, mask):
+        del adj  # adjacency baked into `extra` (static structure)
         loss, grads = jax.value_and_grad(
-            lambda p: loss_shmap(p, (adj.rows_local, adj.cols, adj.vals),
-                                 plan_dev, x, labels, mask, rng))(params)
+            lambda p: loss_shmap(p, extra, plan_dev, x, labels, mask,
+                                 rng))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), adj_spec, plan_spec, P(axis, None)),
-             out_specs=P(axis, None))
-    def eval_shmap(params, adj_shard, plan_shard, x_band):
-        return forward_band(params, adj_shard, plan_shard, x_band, None,
+             in_specs=(P(), extra_spec, plan_spec, P(axis, None)),
+             out_specs=P(axis, None), check_vma=False)
+    def eval_shmap(params, extra_shard, plan_shard, x_band):
+        return forward_band(params, extra_shard, plan_shard, x_band, None,
                             train=False)
 
     @jax.jit
     def eval_fn(params, adj, x):
-        return eval_shmap(params, (adj.rows_local, adj.cols, adj.vals),
-                          plan_dev, x)
-
-    train_step.halo_plan = plan if exchange == "halo" else None
+        del adj
+        return eval_shmap(params, extra, plan_dev, x)
 
     def shard_fn(adj, x, labels, mask):
         row_sharding = NamedSharding(mesh, P(axis))

@@ -221,3 +221,36 @@ class TestHaloExchange:
         sg = shard_graph_by_rows(g, 4)
         plan = build_halo_plan(sg)
         assert plan.exchange_fraction < 0.35, plan.exchange_fraction
+
+    def test_ell_kernel_matches_segsum(self, rng):
+        import jax
+
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.parallel import create_mesh, make_sharded_gcn_train_step
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        g, x, labels, sg = self._setup(rng)
+        mesh = create_mesh(4)
+        tx = adam_l2(0.01, 5e-4)
+        mask = np.ones(g.shape[0], np.float32)
+        results = {}
+        for kernel in ("ell", "segsum"):
+            params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+            step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                mesh, sg, tx, dropout=0.0, exchange="halo", kernel=kernel)
+            adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                       pad_rows(labels, sg),
+                                       pad_rows(mask, sg))
+            opt_state = tx.init(params)
+            losses = []
+            for _ in range(3):
+                params, opt_state, loss = step(params, opt_state,
+                                               jax.random.PRNGKey(7), adj,
+                                               xs, ys, ms)
+                losses.append(float(loss))
+            results[kernel] = (losses, np.asarray(eval_fn(params, adj, xs)))
+        np.testing.assert_allclose(results["ell"][0], results["segsum"][0],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(results["ell"][1], results["segsum"][1],
+                                   rtol=1e-3, atol=1e-4)
