@@ -80,6 +80,9 @@ def main():
     t_coo = bench_spmm(lambda a, xx: spmm(a, xx), adj_coo, x0, overhead,
                        inner=5)
 
+    # full training step (fwd + bwd + adam) through the v6 pipeline
+    t_step = bench_train_step(adj_ell, data, overhead)
+
     edges_per_s = e / t_ell
     print(json.dumps({
         "metric": "spmm_edges_per_s_arxiv_k32",
@@ -89,10 +92,55 @@ def main():
         "detail": {
             "ell_ms": round(t_ell * 1e3, 3),
             "coo_baseline_ms": round(t_coo * 1e3, 3),
+            "train_step_ms": round(t_step * 1e3, 3),
             "n": n, "nnz": e, "k": k,
             "pad_fraction": round(adj_ell.pad_fraction, 4),
         },
     }))
+
+
+def bench_train_step(adj, data, overhead, inner=10, rounds=3):
+    """Full GCN train step (fwd+bwd+adam, hidden=32) per-iter seconds."""
+    import jax
+    import optax
+
+    from gcn_tpu.models.gcn_core import gcn_forward, init_gcn_params
+    from gcn_tpu.train.metrics import masked_nll
+    from gcn_tpu.train.optim import adam_l2
+
+    feats = jnp.asarray(data.features)
+    labels = jnp.asarray(data.labels)
+    idx = jnp.asarray(np.asarray(data.idx_train), dtype=jnp.int32)
+    params = init_gcn_params(jax.random.PRNGKey(0), data.num_features, 32,
+                             data.num_classes)
+    tx = adam_l2(0.01, 5e-4)
+    opt0 = tx.init(params)
+
+    def step(carry, _):
+        p, o = carry
+
+        def loss_fn(pp):
+            lp = gcn_forward(pp, feats, adj, orders=("a_xw", "a_xw"),
+                             dropout_rate=0.0, train=False)
+            return masked_nll(lp, labels, idx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = tx.update(grads, o, p)
+        return (optax.apply_updates(p, updates), o), loss
+
+    @jax.jit
+    def run(p, o):
+        (p, o), losses = jax.lax.scan(step, (p, o), None, length=inner)
+        return losses.sum()
+
+    float(run(params, opt0))  # compile + warm
+    best = 1e9
+    for r in range(rounds):
+        p2 = jax.tree_util.tree_map(lambda a: a * (1 + r * 1e-3), params)
+        t0 = time.perf_counter()
+        float(run(p2, opt0))
+        best = min(best, (time.perf_counter() - t0 - overhead) / inner)
+    return best
 
 
 if __name__ == "__main__":

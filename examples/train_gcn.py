@@ -41,7 +41,10 @@ def main():
 
     from gcn_tpu.data import get_dataset
     from gcn_tpu.models import GCN
+    from gcn_tpu.utils.profiling import setup_logging
 
+    log = setup_logging()  # profiling-gcn.log, as profiling_gcn.py:18
+    log.info("args: %s", vars(args))
     print(f"jax devices: {jax.devices()}")
     t0 = time.time()
     data = get_dataset(args.graph, seed=args.seed)
@@ -76,6 +79,9 @@ def main():
     print(f"fit done in {time.time()-t0:.2f}s")
     print(model.timers.report())
     acc = model.test(data.idx_test)
+    log.info("graph=%s variant=%s hidden=%d iters=%d acc=%.4f fit_s=%.2f",
+             args.graph, args.variant, args.hidden, args.train_iters, acc,
+             time.time() - t0)
     if args.save_path:
         model.save(args.save_path)
         print(f"saved params to {args.save_path}")

@@ -190,6 +190,13 @@ class GCN:
             # The GCN normalization of a symmetric adjacency is symmetric, so
             # the backward pass may reuse the forward arrays (gcn6.py:49-62).
             kwargs["symmetric"] = True if normalize else None
+        if kind == "ell":
+            # one adjacency serves both layers without column chunking:
+            # k_pad >= the widest SpMM operand (min side of each layer)
+            widest = max(min(self.nhid, self.nfeat), min(self.nhid,
+                                                         self.nclass))
+            kwargs["k_pad"] = next(k for k in (32, 64, 128)
+                                   if k >= min(widest, 128))
         self.adj_norm = device_adjacency(g, kind, **kwargs)
         self.features = jnp.asarray(x, dtype=self.dtype)
         self.labels = jnp.asarray(labels_np)

@@ -139,3 +139,18 @@ def test_row_analysis_cli(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert out.exists()
+
+
+def test_profiling_helpers(tmp_path):
+    from gcn_tpu.utils.profiling import device_trace, setup_logging
+
+    log = setup_logging(str(tmp_path / "t.log"))
+    log.info("hello")
+    for h in log.handlers:
+        h.flush()
+    assert "hello" in open(tmp_path / "t.log").read()
+    import jax.numpy as jnp
+
+    with device_trace(str(tmp_path / "trace")) as d:
+        _ = jnp.ones((8, 8)).sum().block_until_ready()
+    assert os.path.isdir(d)
