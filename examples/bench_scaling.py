@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Weak-scaling benchmark harness for the sharded GCN training step.
+
+Scales the graph with the device count (n = nodes_per_device * d) and
+reports per-step time and weak-scaling efficiency t(1)/t(d) — the
+BASELINE.md reporting points (1 chip / 1 host / N hosts). On a multi-chip
+TPU slice this measures real ICI halo traffic; on a single-chip or CPU
+environment run with fake devices to validate the harness:
+
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python examples/bench_scaling.py --devices 1 2 4 8 --kernel segsum
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def bench_devices(d, nodes_per_device, steps, kernel, exchange, seed=0):
+    import jax
+    import numpy as np
+
+    from gcn_tpu.data.synthetic import class_features, sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.models.gcn_core import init_gcn_params
+    from gcn_tpu.parallel import (create_mesh, make_sharded_gcn_train_step,
+                                  shard_graph_by_rows)
+    from gcn_tpu.parallel.partition import pad_rows
+    from gcn_tpu.reorder import reorder_graph
+    from gcn_tpu.train.optim import adam_l2
+
+    n = nodes_per_device * d
+    adj, labels = sbm(n=n, n_classes=8, avg_degree=14.0, seed=seed)
+    g = gcn_normalize(adj)
+    g, perm = reorder_graph(g, "rabbit")
+    x = class_features(labels, feat_dim=64, seed=seed)[perm]
+    labels = labels[perm]
+
+    mesh = create_mesh(d)
+    sg = shard_graph_by_rows(g, d)
+    params = init_gcn_params(jax.random.PRNGKey(0), 64, 32, 8)
+    tx = adam_l2(0.01, 5e-4)
+    step, _, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.5, exchange=exchange, kernel=kernel)
+    mask = np.ones(n, np.float32)
+    adj_d, xs, ys, ms = shard_fn(sg, pad_rows(x, sg), pad_rows(labels, sg),
+                                 pad_rows(mask, sg))
+    opt_state = tx.init(params)
+    rng = jax.random.PRNGKey(1)
+    # warm / compile
+    params, opt_state, loss = step(params, opt_state, rng, adj_d, xs, ys, ms)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, rng, adj_d, xs,
+                                       ys, ms)
+    float(loss)
+    return (time.perf_counter() - t0) / steps
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", type=int, nargs="*", default=None,
+                    help="device counts to sweep (default: 1..all, pow2)")
+    ap.add_argument("--nodes-per-device", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--kernel", default="segsum", choices=["segsum", "ell"])
+    ap.add_argument("--exchange", default="halo",
+                    choices=["halo", "all_gather"])
+    args = ap.parse_args()
+
+    import jax
+
+    avail = len(jax.devices())
+    counts = args.devices or [d for d in (1, 2, 4, 8, 16, 32)
+                              if d <= avail]
+    results = []
+    t1 = None
+    for d in counts:
+        t = bench_devices(d, args.nodes_per_device, args.steps,
+                          args.kernel, args.exchange)
+        if t1 is None:
+            t1 = t
+        eff = t1 / t
+        results.append({"devices": d, "step_ms": round(t * 1e3, 2),
+                        "weak_scaling_efficiency": round(eff, 3)})
+        print(json.dumps(results[-1]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
