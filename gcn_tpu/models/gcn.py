@@ -77,9 +77,18 @@ class GCN:
         reorder: Optional[str] = None,
         seed: int = 0,
         dtype=jnp.float32,
+        hoist_ax: Optional[bool] = None,
     ):
         assert variant in _VARIANTS, f"variant must be one of {_VARIANTS}"
         self.nfeat, self.nhid, self.nclass = nfeat, nhid, nclass
+        # layer-1 aggregation A@X is training-invariant whenever layer 1
+        # runs A(XW) (dropout only applies after layer 1, gcn1.py:103-145),
+        # so hoisting it is numerically identical and removes two of the
+        # four per-iteration SpMMs (fwd + the dW1 transpose). The reference
+        # only does this in gcn2; here it composes with every variant.
+        if hoist_ax is None:
+            hoist_ax = variant in ("v2", "v4", "v5", "v6")
+        self.hoist_ax = hoist_ax or variant == "v2"
         self.dropout = dropout
         self.lr = lr
         # no-relu implies no weight decay, as in gcn1.py:80-84.
@@ -109,15 +118,16 @@ class GCN:
     # ------------------------------------------------------------------ fit
 
     def _orders(self):
+        l1 = "xw" if self.hoist_ax else "a_xw"
         if self.variant == "v1":
             return ("a_xw", "a_xw")
         if self.variant == "v2":
             return ("xw", "a_xw")  # layer-1 SpMM hoisted into preprocessing
         if self.variant == "v3":
-            return ("a_xw", "ax_w")
-        # v4/v5/v6: dimension-driven choice; layer 1 stays a_xw as in the
-        # reference (gcn4.py:135: "gc1 always A(XW)").
-        return ("a_xw", auto_order(self.nhid, self.nclass))
+            return (l1, "ax_w")
+        # v4/v5/v6: dimension-driven choice; layer 1 is A(XW) as in the
+        # reference (gcn4.py:135: "gc1 always A(XW)"), hoisted by default.
+        return (l1, auto_order(self.nhid, self.nclass))
 
     def _remap_idx(self, idx):
         idx = np.asarray(idx)
@@ -210,7 +220,7 @@ class GCN:
 
         orders = self._orders()
         feats = self.features
-        if self.variant == "v2":
+        if self.hoist_ax:
             # Hoist layer-1 aggregation: A @ X is training-invariant.
             with self.timers("hoist_ax").d as t:
                 self._hoisted_ax = t.fence(
@@ -247,8 +257,11 @@ class GCN:
         g = gcn_normalize(_as_csr(adj))
         x = jnp.asarray(_as_dense_features(features), dtype=self.dtype)
         rep = device_adjacency(g, "auto")
-        lp = gcn_forward(self.params, x, rep, rep, orders=self._orders()
-                         if self.variant != "v2" else ("a_xw", "a_xw"),
+        # fresh graph: no hoisted A@X available -> layer 1 aggregates live
+        orders = self._orders()
+        if orders[0] == "xw":
+            orders = ("a_xw", orders[1])
+        lp = gcn_forward(self.params, x, rep, rep, orders=orders,
                          dropout_rate=self.dropout,
                          with_relu=self.with_relu, train=False)
         return lp

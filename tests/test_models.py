@@ -155,3 +155,19 @@ def test_gcn_save_load_roundtrip(tmp_path, rng):
     lp2 = m2.predict(data.features, data.adj)
     np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_hoist_ax_numerically_identical(data):
+    """Hoisting layer-1 A@X must not change training (gcn2 semantics
+    composed into v4)."""
+    from gcn_tpu.models import GCN
+
+    outs = {}
+    for hoist in (True, False):
+        m = GCN(data.num_features, 16, data.num_classes, variant="v4",
+                seed=0, dropout=0.0, hoist_ax=hoist)
+        m.fit(data.features, data.adj, data.labels, data.idx_train,
+              train_iters=5)
+        outs[hoist] = np.asarray(m.output)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=5e-4,
+                               atol=5e-5)
