@@ -52,8 +52,10 @@ _SYNTH_SPECS = {
     "synth-citeseer": (3327, 6, 2.8, 3703, False),
     "synth-pubmed": (19717, 3, 4.5, 500, False),
     "synth-flickr": (89250, 7, 10.0, 500, True),
+    "synth-ppi":    (14755, 121, 15.0, 50, True),
     "synth-arxiv":  (169343, 40, 13.7, 128, True),
     "synth-reddit": (232965, 41, 50.0, 602, True),
+    "synth-yelp":   (716847, 100, 19.5, 300, True),
 }
 
 

@@ -130,3 +130,33 @@ def test_registry_routes_real_names(tmp_path):
         get_dataset("citeseer", root=str(tmp_path))
     with pytest.raises(KeyError):
         get_dataset("not-a-dataset")
+
+
+def test_hypergraph_mat_loader(tmp_path, rng):
+    import scipy.io as scio
+
+    from gcn_tpu.data.hypergraph_mat import (load_features_and_hypergraph,
+                                             load_ft)
+
+    n = 40
+    mv = rng.random((n, 16)).astype(np.float64)
+    gv = rng.random((n, 8)).astype(np.float64)
+    x_cell = np.empty((1, 2), dtype=object)
+    x_cell[0, 0] = mv
+    x_cell[0, 1] = gv
+    labels = rng.integers(1, 5, (n, 1))  # 1-based, as in the release
+    indices = (rng.random((n, 1)) < 0.8).astype(np.float64)
+    path = str(tmp_path / "toy.mat")
+    scio.savemat(path, {"X": x_cell, "Y": labels, "indices": indices})
+
+    fts, lbl, tr, te = load_ft(path, "GVCNN")
+    assert fts.shape == (n, 8) and lbl.min() == 0
+    assert len(tr) + len(te) == n
+
+    fts2, lbl2, tr2, te2, h = load_features_and_hypergraph(
+        path, k_neigs=[5],
+        use_mvcnn_feature=True, use_gvcnn_feature=True,
+        use_mvcnn_feature_for_structure=True,
+        use_gvcnn_feature_for_structure=True)
+    assert fts2.shape == (n, 24)          # concat of both modalities
+    assert h.shape == (n, 2 * n)          # hyperedges from both modalities
