@@ -94,3 +94,32 @@ def test_init_distribution_matches_reference():
         assert abs(w.std() - s / np.sqrt(3)) < 0.05 * s  # uniform stddev
         b = np.asarray(params[layer]["b"])
         assert b.min() >= -s and b.max() <= s
+
+
+def test_hgnn_forward_matches_torch_math(rng):
+    """HGNN_conv: x -> G @ (x W + b) (HGNN.py:27-38) written independently
+    in torch, with transplanted weights."""
+    from gcn_tpu.graph.hypergraph import construct_H_with_KNN, generate_G_from_H
+    from gcn_tpu.models.hgnn import hgnn_forward, init_hgnn_params
+    from gcn_tpu.ops.adjacency import dense_adjacency
+
+    n, f, hid, c = 50, 12, 8, 4
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    h = construct_H_with_KNN(feats, k_neig=5)
+    g = generate_G_from_H(h)  # CSRGraph
+    g_dense = g.to_dense()
+    params = init_hgnn_params(jax.random.PRNGKey(1), f, hid, c)
+
+    g_t = torch.tensor(g_dense, dtype=torch.float64)
+    x_t = torch.tensor(feats, dtype=torch.float64)
+    w1 = torch.tensor(np.asarray(params["hgc1"]["w"]), dtype=torch.float64)
+    b1 = torch.tensor(np.asarray(params["hgc1"]["b"]), dtype=torch.float64)
+    w2 = torch.tensor(np.asarray(params["hgc2"]["w"]), dtype=torch.float64)
+    b2 = torch.tensor(np.asarray(params["hgc2"]["b"]), dtype=torch.float64)
+    h1 = torch.relu(g_t @ (x_t @ w1 + b1))
+    ref = g_t @ (h1 @ w2 + b2)
+
+    adj = dense_adjacency(g)
+    out = hgnn_forward(params, jnp.asarray(feats), adj, train=False)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               rtol=2e-4, atol=2e-5)
