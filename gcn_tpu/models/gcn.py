@@ -221,24 +221,37 @@ class GCN:
         orders = self._orders()
         feats = self.features
         if self.hoist_ax:
-            # Hoist layer-1 aggregation: A @ X is training-invariant.
+            # Hoist layer-1 aggregation: A @ X is training-invariant. Wide
+            # feature matrices are aggregated in eager column chunks so only
+            # one chunk's gather products are ever live (a single jit over
+            # all of X materializes every chunk at once — OOM at
+            # reddit/yelp scale).
             with self.timers("hoist_ax").d as t:
-                self._hoisted_ax = t.fence(
-                    jax.jit(spmm)(self.adj_norm, self.features))
+                chunk = 32
+                parts = [
+                    jax.jit(spmm)(self.adj_norm,
+                                  self.features[:, c:c + chunk])
+                    for c in range(0, self.nfeat, chunk)
+                ]
+                self._hoisted_ax = t.fence(jnp.concatenate(parts, axis=1)
+                                           if len(parts) > 1 else parts[0])
             feats = self._hoisted_ax
 
-        adj1 = adj2 = self.adj_norm
+        # graph-sized arrays ride fit_gcn's forward_data (JIT arguments,
+        # never program constants — required at reddit/yelp scale)
+        fdata = (feats, self.adj_norm)
 
-        def forward(p, train, rng):
+        def forward(p, fd, train, rng):
+            x, adj = fd
             return gcn_forward(
-                p, feats, adj1, adj2, orders=orders,
+                p, x, adj, adj, orders=orders,
                 dropout_rate=self.dropout, with_relu=self.with_relu,
                 train=train, rng=rng)
 
         result = fit_gcn(
             self.params, adam_l2(self.lr, self.weight_decay), forward,
-            self.labels, idx_train, idx_val, train_iters=train_iters,
-            mode=mode, patience=patience,
+            self.labels, idx_train, idx_val, forward_data=fdata,
+            train_iters=train_iters, mode=mode, patience=patience,
             rng=jax.random.PRNGKey(self.seed + 1), verbose=verbose,
             timers=self.timers, jit_loop=jit_loop)
         self.params = result.params

@@ -122,46 +122,67 @@ class HGNN:
         opt_state = tx.init(self.params)
         rng = jax.random.PRNGKey(self.seed + 1)
 
+        # graph-sized arrays enter every jitted program as ARGUMENTS, not
+        # closure constants (constants blow up the executable at scale)
         @jax.jit
-        def step(p, o, r):
+        def step_a(p, o, xx, aa, yl, idx, r):
             def loss_fn(pp):
-                logits = hgnn_forward(pp, x, adj, dropout=self.dropout,
+                logits = hgnn_forward(pp, xx, aa, dropout=self.dropout,
                                       train=True, rng=r)
-                return cross_entropy(logits, labels, idx_train)
+                return cross_entropy(logits, yl, idx)
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
             updates, o = tx.update(grads, o, p)
             return optax.apply_updates(p, updates), o, loss
 
         @jax.jit
+        def evaluate_a(p, xx, aa):
+            return hgnn_forward(p, xx, aa, train=False)
+
+        def step(p, o, r):
+            return step_a(p, o, x, adj, labels, idx_train, r)
+
         def evaluate(p):
-            return hgnn_forward(p, x, adj, train=False)
+            return evaluate_a(p, x, adj)
 
         if jit_loop:
             # whole-run lax.scan: one device dispatch (see train/loop.py)
-            def body(carry, _):
-                p, o, r, best_p, best_acc = carry
-                r, rr = jax.random.split(r)
-                p, o, loss = step(p, o, rr)
-                if idx_val is not None:
-                    acc = accuracy(jax.nn.log_softmax(evaluate(p), 1),
-                                   labels, idx_val)
-                    take = acc > best_acc
-                    best_acc = jnp.where(take, acc, best_acc)
-                    best_p = jax.tree_util.tree_map(
-                        lambda b, n: jnp.where(take, n, b), best_p, p)
-                else:
-                    acc = jnp.float32(jnp.nan)
-                return (p, o, r, best_p, best_acc), (loss, acc)
-
             @jax.jit
-            def run_all(c0):
+            def run_all(c0, xx, aa, yl, idx_tr, idx_v):
+                def body(carry, _):
+                    p, o, r, best_p, best_acc = carry
+                    r, rr = jax.random.split(r)
+
+                    def loss_fn(pp):
+                        logits = hgnn_forward(pp, xx, aa,
+                                              dropout=self.dropout,
+                                              train=True, rng=rr)
+                        return cross_entropy(logits, yl, idx_tr)
+
+                    loss, grads = jax.value_and_grad(loss_fn)(p)
+                    updates, o = tx.update(grads, o, p)
+                    p = optax.apply_updates(p, updates)
+                    if idx_val is not None:
+                        logits = hgnn_forward(p, xx, aa, train=False)
+                        acc = accuracy(jax.nn.log_softmax(logits, 1), yl,
+                                       idx_v)
+                        take = acc > best_acc
+                        best_acc = jnp.where(take, acc, best_acc)
+                        best_p = jax.tree_util.tree_map(
+                            lambda b, n: jnp.where(take, n, b), best_p, p)
+                    else:
+                        acc = jnp.float32(jnp.nan)
+                    return (p, o, r, best_p, best_acc), (loss, acc)
+
                 return jax.lax.scan(body, c0, None, length=num_epochs)
 
             c0 = (self.params, opt_state, rng, self.params,
                   jnp.float32(-jnp.inf))
+            idx_v = idx_val if idx_val is not None else jnp.zeros(
+                1, jnp.int32)
             with self.timers("fit_scan").d as t:
-                carry, (losses, accs) = run_all(c0)
+                carry, (losses, accs) = run_all(c0, x, adj, labels,
+                                                idx_train, idx_v)
                 t.fence(losses)
             self.params, _, _, best_params, best_acc = carry
             if idx_val is not None:

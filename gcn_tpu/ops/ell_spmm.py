@@ -82,11 +82,44 @@ def _ell_reduce(win, products, *, r: int, k_pad: int, n_rows: int):
     return out[:n_rows]
 
 
+# XLA keeps a gather table fast (VMEM-resident) while its lane-PADDED
+# footprint (n * 128 lanes * 4B, regardless of k<=32) is small enough; the
+# gather degrades several-fold beyond that. Packing Q=128/k_pad table rows
+# per 128-lane row shrinks the real footprint Q-fold (gather q=col//Q, then
+# Q masked lane-group selects). Measured end-to-end (chained SpMM, v5e,
+# k_pad=32): plain wins up to n~233k (e.g. reddit 68 vs 102 ms); packed wins
+# 2.4-2.5x at n=466k (263->108 ms) and n=717k/yelp (374->151 ms).
+_PACK_TABLE_ROWS = 300_000
+
+
+def _packed_gather_stride_sum(cols, vals, x, k_pad):
+    n = x.shape[0]
+    q = 128 // k_pad
+    npad = -(-n // q) * q
+    x128 = jnp.pad(x, ((0, npad - n), (0, 0))).reshape(npad // q, 128)
+    p = cols.shape[1]
+    acc = None
+    for j in range(p):
+        c = cols[:, j, :].reshape(-1)
+        v = vals[:, j, :].reshape(-1).astype(x.dtype)
+        g = jnp.take(x128, c // q, axis=0)
+        m = c % q
+        part = None
+        for mm in range(q):
+            t = jnp.where(m == mm, v, 0)[:, None] * g[:, mm * k_pad:
+                                                      (mm + 1) * k_pad]
+            part = t if part is None else part + t
+        acc = part if acc is None else acc + part
+    return acc.astype(jnp.float32)
+
+
 def _gather_stride_sum(cols, vals, x, k_pad):
     """sum_j x[cols[:, j, :]] * vals[:, j, :] -> (num_blocks*R, k_pad) f32."""
     k = x.shape[1]
     if k < k_pad:
         x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
+    if k_pad < 128 and x.shape[0] > _PACK_TABLE_ROWS:
+        return _packed_gather_stride_sum(cols, vals, x, k_pad)
     p = cols.shape[1]
     acc = None
     for j in range(p):

@@ -24,6 +24,7 @@ per-step device-fenced timing printout.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -46,11 +47,16 @@ class TrainResult:
 def fit_gcn(
     params,
     tx,
-    forward: Callable,  # forward(params, train: bool, rng) -> log_probs (n, C)
+    forward: Callable,  # forward(params, fdata, train, rng) -> log_probs
     labels: jnp.ndarray,
     idx_train: jnp.ndarray,
     idx_val: Optional[jnp.ndarray] = None,
     *,
+    forward_data=(),  # pytree passed to forward as a JIT ARGUMENT — large
+                      # arrays (features, adjacency) must ride here, not in
+                      # the forward closure, or they embed in the program
+                      # as constants (oversized executables at big-graph
+                      # scale)
     train_iters: int = 200,
     mode: str = "auto",  # auto | no_val | val | early_stop
     patience: int = 500,
@@ -74,25 +80,31 @@ def fit_gcn(
 
     opt_state = tx.init(params)
 
-    def loss_fn(p, step_rng):
-        lp = forward(p, True, step_rng)
-        return masked_nll(lp, labels, idx_train)
+    def loss_fn(p, fd, yl, idx, step_rng):
+        lp = forward(p, fd, True, step_rng)
+        return masked_nll(lp, yl, idx)
 
     @jax.jit
-    def train_step(p, o, step_rng):
-        loss, grads = jax.value_and_grad(loss_fn)(p, step_rng)
+    def train_step_a(p, o, fd, yl, idx, step_rng):
+        loss, grads = jax.value_and_grad(loss_fn)(p, fd, yl, idx, step_rng)
         updates, o = tx.update(grads, o, p)
         p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
         return p, o, loss
 
     @jax.jit
+    def eval_step_a(p, fd):
+        return forward(p, fd, False, rng)
+
+    def train_step(p, o, step_rng):
+        return train_step_a(p, o, forward_data, labels, idx_train, step_rng)
+
     def eval_step(p):
-        lp = forward(p, False, rng)
-        return lp
+        return eval_step_a(p, forward_data)
 
     if jit_loop:
-        return _fit_scanned(params, opt_state, train_step, eval_step,
-                            labels, idx_val, train_iters=train_iters,
+        return _fit_scanned(params, opt_state, loss_fn, forward, labels,
+                            idx_train, idx_val, forward_data, tx,
+                            train_iters=train_iters,
                             mode=mode, patience=patience, rng=rng,
                             verbose=verbose, timers=timers)
 
@@ -155,21 +167,35 @@ def fit_gcn(
                        history=history, best_iter=best_iter)
 
 
-def _fit_scanned(params, opt_state, train_step, eval_step, labels, idx_val,
-                 *, train_iters, mode, patience, rng, verbose, timers):
+def _fit_scanned(params, opt_state, loss_fn, forward, labels, idx_train,
+                 idx_val, forward_data, tx, *, train_iters, mode, patience,
+                 rng, verbose, timers):
     """Whole-training-run lax.scan: one device dispatch for the full loop.
 
     Best-val snapshots are tree-selects on the scan carry; early stopping
     becomes a pass-through guard (stopped iterations are cheap cond
     branches — the reference semantics, gcn1.py:277-292, with a compiled
-    loop)."""
+    loop). All graph-sized arrays (forward_data, labels, index sets) enter
+    as jit ARGUMENTS so the compiled program carries no large constants.
+    """
     track_val = mode in ("val", "early_stop")
+    idx_val_a = idx_val if idx_val is not None else jnp.zeros(1, jnp.int32)
 
-    def val_metrics(p):
-        lp = eval_step(p)
-        return (masked_nll(lp, labels, idx_val), accuracy(lp, labels, idx_val))
+    def body_args(fd, yl, idx_tr, idx_v):
+        def val_metrics(p):
+            lp = forward(p, fd, False, None)
+            return (masked_nll(lp, yl, idx_v), accuracy(lp, yl, idx_v))
 
-    def body(carry, it):
+        def train_step(p, o, step_rng):
+            loss, grads = jax.value_and_grad(loss_fn)(p, fd, yl, idx_tr,
+                                                      step_rng)
+            updates, o = tx.update(grads, o, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+            return p, o, loss
+
+        return val_metrics, train_step
+
+    def body_fn(val_metrics, train_step, carry, it):
         (p, o, r, best_p, best_loss, best_acc, best_it, pat, stop) = carry
         r, step_rng = jax.random.split(r)
 
@@ -222,11 +248,14 @@ def _fit_scanned(params, opt_state, train_step, eval_step, labels, idx_val,
               jnp.bool_(False))
 
     @jax.jit
-    def run_all(c0):
+    def run_all(c0, fd, yl, idx_tr, idx_v):
+        val_metrics, train_step = body_args(fd, yl, idx_tr, idx_v)
+        body = functools.partial(body_fn, val_metrics, train_step)
         return jax.lax.scan(body, c0, jnp.arange(train_iters))
 
     with timers("fit_scan").d as t:
-        carry, (losses, losses_val, accs_val) = run_all(carry0)
+        carry, (losses, losses_val, accs_val) = run_all(
+            carry0, forward_data, labels, idx_train, idx_val_a)
         t.fence(losses)
     (p_fin, _, _, best_p, best_loss, _, best_it, _, stopped) = carry
 
@@ -252,6 +281,7 @@ def _fit_scanned(params, opt_state, train_step, eval_step, labels, idx_val,
 
     if mode == "no_val":
         best_p, best_it = p_fin, train_iters - 1
-    best_lp = eval_step(best_p)
+    best_lp = jax.jit(lambda p, fd: forward(p, fd, False, None))(
+        best_p, forward_data)
     return TrainResult(params=best_p, log_probs=best_lp, timers=timers,
                        history=history, best_iter=int(best_it))

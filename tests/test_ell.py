@@ -150,3 +150,18 @@ def test_native_tiler_used_by_default(rng):
     np.testing.assert_array_equal(np.asarray(a1.cols), np.asarray(a2.cols))
     np.testing.assert_array_equal(np.asarray(a1.vals), np.asarray(a2.vals))
     np.testing.assert_array_equal(np.asarray(a1.win), np.asarray(a2.win))
+
+
+def test_packed_gather_path_matches(rng, monkeypatch):
+    """Force the packed-table gather path and check numerics."""
+    import gcn_tpu.ops.ell_spmm as es
+
+    monkeypatch.setattr(es, "_PACK_TABLE_ROWS", 8)
+    g = random_graph(rng, n=130, m=900, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    for k_pad, k in [(32, 32), (64, 48), (32, 8)]:
+        adj = ell_adjacency(g, r=16, k_pad=k_pad)
+        x = rng.standard_normal((130, k)).astype(np.float32)
+        out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
+        ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
