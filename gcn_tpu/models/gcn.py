@@ -227,7 +227,7 @@ class GCN:
             # all of X materializes every chunk at once — OOM at
             # reddit/yelp scale).
             with self.timers("hoist_ax").d as t:
-                chunk = 32
+                chunk = getattr(self.adj_norm, "k_pad", 32)
                 parts = [
                     jax.jit(spmm)(self.adj_norm,
                                   self.features[:, c:c + chunk])

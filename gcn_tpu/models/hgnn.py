@@ -147,23 +147,16 @@ class HGNN:
 
         if jit_loop:
             # whole-run lax.scan: one device dispatch (see train/loop.py)
+            # step_a / evaluate_a are reused directly: nested jit inlines
+            # under trace, so the two loop flavors cannot diverge.
             @jax.jit
             def run_all(c0, xx, aa, yl, idx_tr, idx_v):
                 def body(carry, _):
                     p, o, r, best_p, best_acc = carry
                     r, rr = jax.random.split(r)
-
-                    def loss_fn(pp):
-                        logits = hgnn_forward(pp, xx, aa,
-                                              dropout=self.dropout,
-                                              train=True, rng=rr)
-                        return cross_entropy(logits, yl, idx_tr)
-
-                    loss, grads = jax.value_and_grad(loss_fn)(p)
-                    updates, o = tx.update(grads, o, p)
-                    p = optax.apply_updates(p, updates)
+                    p, o, loss = step_a(p, o, xx, aa, yl, idx_tr, rr)
                     if idx_val is not None:
-                        logits = hgnn_forward(p, xx, aa, train=False)
+                        logits = evaluate_a(p, xx, aa)
                         acc = accuracy(jax.nn.log_softmax(logits, 1), yl,
                                        idx_v)
                         take = acc > best_acc

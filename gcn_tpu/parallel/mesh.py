@@ -25,3 +25,21 @@ def create_mesh(n_devices: Optional[int] = None,
             "testing set XLA_FLAGS=--xla_force_host_platform_device_count=N")
     return jax.make_mesh((n_devices,), tuple(axis_names),
                          devices=devices[:n_devices])
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Mesh:
+    """Multi-host setup: jax.distributed + a global 1-D mesh.
+
+    On a TPU pod slice the arguments come from the environment and may be
+    omitted (jax.distributed auto-detects); elsewhere pass them explicitly.
+    Collectives then ride ICI within a slice and DCN across hosts — the
+    same shard_map train step works unchanged because it only names the
+    mesh axis. Each host feeds its own row bands to ``shard_fn``
+    (jax.make_array_from_process_local_data for host-local loading).
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return create_mesh()

@@ -95,18 +95,18 @@ def fit_gcn(
     def eval_step_a(p, fd):
         return forward(p, fd, False, rng)
 
+    if jit_loop:
+        return _fit_scanned(params, opt_state, train_step_a, eval_step_a,
+                            labels, idx_train, idx_val, forward_data,
+                            train_iters=train_iters,
+                            mode=mode, patience=patience, rng=rng,
+                            verbose=verbose, timers=timers)
+
     def train_step(p, o, step_rng):
         return train_step_a(p, o, forward_data, labels, idx_train, step_rng)
 
     def eval_step(p):
         return eval_step_a(p, forward_data)
-
-    if jit_loop:
-        return _fit_scanned(params, opt_state, loss_fn, forward, labels,
-                            idx_train, idx_val, forward_data, tx,
-                            train_iters=train_iters,
-                            mode=mode, patience=patience, rng=rng,
-                            verbose=verbose, timers=timers)
 
     best_params, best_lp = params, None
     best_loss_val = jnp.inf
@@ -167,9 +167,9 @@ def fit_gcn(
                        history=history, best_iter=best_iter)
 
 
-def _fit_scanned(params, opt_state, loss_fn, forward, labels, idx_train,
-                 idx_val, forward_data, tx, *, train_iters, mode, patience,
-                 rng, verbose, timers):
+def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
+                 idx_train, idx_val, forward_data, *, train_iters, mode,
+                 patience, rng, verbose, timers):
     """Whole-training-run lax.scan: one device dispatch for the full loop.
 
     Best-val snapshots are tree-selects on the scan carry; early stopping
@@ -177,21 +177,19 @@ def _fit_scanned(params, opt_state, loss_fn, forward, labels, idx_train,
     branches — the reference semantics, gcn1.py:277-292, with a compiled
     loop). All graph-sized arrays (forward_data, labels, index sets) enter
     as jit ARGUMENTS so the compiled program carries no large constants.
+    The per-iteration step/eval functions are reused directly — nested jit
+    inlines under trace — so the two loop flavors cannot diverge.
     """
     track_val = mode in ("val", "early_stop")
     idx_val_a = idx_val if idx_val is not None else jnp.zeros(1, jnp.int32)
 
     def body_args(fd, yl, idx_tr, idx_v):
         def val_metrics(p):
-            lp = forward(p, fd, False, None)
+            lp = eval_step_a(p, fd)
             return (masked_nll(lp, yl, idx_v), accuracy(lp, yl, idx_v))
 
         def train_step(p, o, step_rng):
-            loss, grads = jax.value_and_grad(loss_fn)(p, fd, yl, idx_tr,
-                                                      step_rng)
-            updates, o = tx.update(grads, o, p)
-            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
-            return p, o, loss
+            return train_step_a(p, o, fd, yl, idx_tr, step_rng)
 
         return val_metrics, train_step
 
@@ -281,7 +279,6 @@ def _fit_scanned(params, opt_state, loss_fn, forward, labels, idx_train,
 
     if mode == "no_val":
         best_p, best_it = p_fin, train_iters - 1
-    best_lp = jax.jit(lambda p, fd: forward(p, fd, False, None))(
-        best_p, forward_data)
+    best_lp = eval_step_a(best_p, forward_data)
     return TrainResult(params=best_p, log_probs=best_lp, timers=timers,
                        history=history, best_iter=int(best_it))
