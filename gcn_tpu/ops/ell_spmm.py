@@ -130,18 +130,29 @@ def _gather_stride_sum(cols, vals, x, k_pad):
     return acc.astype(jnp.float32)
 
 
-def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows):
+def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None):
     k = x.shape[1]
     if k > k_pad:
         # wide features: process in k_pad-column chunks
-        chunks = [
+        parts = [
             _spmm_ell_impl(cols, vals, win, x[:, c:c + k_pad],
-                           r, k_pad, n_rows)
+                           r, k_pad, n_rows, chunks)
             for c in range(0, k, k_pad)
         ]
-        return jnp.concatenate(chunks, axis=1)
-    products = _gather_stride_sum(cols, vals, x, k_pad)
-    out = _ell_reduce(win, products, r=r, k_pad=k_pad, n_rows=n_rows)
+        return jnp.concatenate(parts, axis=1)
+    if chunks is not None and len(chunks) > 1:
+        # row chunks (window-aligned): bounds the gather-products buffer
+        # to one chunk's slots however large the graph (tile/ell.py)
+        outs = []
+        for bs, be, ws, we in chunks:
+            products = _gather_stride_sum(cols[bs:be], vals[bs:be], x, k_pad)
+            rows = min((we - ws) * r, n_rows - ws * r)
+            outs.append(_ell_reduce(win[bs:be] - ws, products, r=r,
+                                    k_pad=k_pad, n_rows=rows))
+        out = jnp.concatenate(outs, axis=0)
+    else:
+        products = _gather_stride_sum(cols, vals, x, k_pad)
+        out = _ell_reduce(win, products, r=r, k_pad=k_pad, n_rows=n_rows)
     return out[:, :k] if k < k_pad else out
 
 
@@ -153,7 +164,7 @@ def spmm_ell(adj: EllAdj, x: jnp.ndarray) -> jnp.ndarray:
     docstring.
     """
     return _spmm_ell_impl(adj.cols, adj.vals, adj.win, x,
-                          adj.r, adj.k_pad, adj.n_rows)
+                          adj.r, adj.k_pad, adj.n_rows, adj.chunks)
 
 
 def _spmm_ell_fwd(adj, x):
@@ -164,7 +175,8 @@ def _spmm_ell_fwd(adj, x):
 def _spmm_ell_bwd(res, g):
     adj, x_token = res
     dx = _spmm_ell_impl(adj.t_cols, adj.t_vals, adj.t_win, g,
-                        adj.r, adj.k_pad, adj.n_cols).astype(x_token.dtype)
+                        adj.r, adj.k_pad, adj.n_cols,
+                        adj.t_chunks).astype(x_token.dtype)
 
     def _zt(a):
         return np.zeros(a.shape, dtype=jax.dtypes.float0)
@@ -174,7 +186,7 @@ def _spmm_ell_bwd(res, g):
         t_cols=_zt(adj.t_cols), t_vals=jnp.zeros_like(adj.t_vals),
         t_win=_zt(adj.t_win), n_rows=adj.n_rows,
         n_cols=adj.n_cols, nnz=adj.nnz, r=adj.r, k_pad=adj.k_pad,
-        symmetric=adj.symmetric,
+        symmetric=adj.symmetric, chunks=adj.chunks, t_chunks=adj.t_chunks,
     )
     return d_adj, dx
 

@@ -190,8 +190,12 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
         "t_cols": _stack("t_cols"), "t_vals": _stack("t_vals"),
         "t_win": _stack("t_win", pad_win_field=True),
     }
+    nw = -(-rps // r)
     meta = dict(n_rows=rps, n_cols=t_cols, nnz=shards[0].nnz, r=r,
-                k_pad=k_pad, symmetric=False)
+                k_pad=k_pad, symmetric=False,
+                chunks=((0, stacked["win"].shape[1], 0, nw),),
+                t_chunks=((0, stacked["t_win"].shape[1], 0,
+                           -(-t_cols // r)),))
     return EllAdj(**stacked, **meta)
 
 
@@ -203,7 +207,8 @@ def unstack_ell_shard(adj_stacked):
           for f in ("cols", "vals", "win", "t_cols", "t_vals", "t_win")}
     return EllAdj(**sq, n_rows=adj_stacked.n_rows, n_cols=adj_stacked.n_cols,
                   nnz=adj_stacked.nnz, r=adj_stacked.r,
-                  k_pad=adj_stacked.k_pad, symmetric=False)
+                  k_pad=adj_stacked.k_pad, symmetric=False,
+                  chunks=adj_stacked.chunks, t_chunks=adj_stacked.t_chunks)
 
 
 def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,

@@ -53,10 +53,16 @@ DEFAULT_R = 128      # rows per output window
 DEFAULT_K_PAD = 32   # feature lanes per slot; P = 128 // k_pad slots/row
 
 
+# cap on gather-product slots processed at once: bounds the intermediate
+# products buffer to ~1 GB (slots * 512 B) however large the graph is
+DEFAULT_CHUNK_SLOTS = 8_000_000
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["cols", "vals", "win", "t_cols", "t_vals", "t_win"],
-    meta_fields=["n_rows", "n_cols", "nnz", "r", "k_pad", "symmetric"],
+    meta_fields=["n_rows", "n_cols", "nnz", "r", "k_pad", "symmetric",
+                 "chunks", "t_chunks"],
 )
 @dataclasses.dataclass(frozen=True)
 class EllAdj:
@@ -67,6 +73,11 @@ class EllAdj:
     int32, the output window of each pass-block — nondecreasing, every
     window of ``ceil(n_rows/R)`` visited at least once. ``t_*`` mirror the
     arrays for A^T (backward dX); aliased when symmetric.
+
+    ``chunks``/``t_chunks``: static tuples of (block_start, block_end,
+    win_start, win_end) splitting the block sequence at window boundaries
+    so the kernel can bound its gather-products working set; a single
+    chunk for small graphs.
     """
 
     cols: jnp.ndarray
@@ -81,6 +92,8 @@ class EllAdj:
     r: int
     k_pad: int
     symmetric: bool
+    chunks: tuple
+    t_chunks: tuple
 
     @property
     def p(self) -> int:
@@ -135,7 +148,24 @@ def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     cols[blk, j % p, rows - w * r] = indices
     vals[blk, j % p, rows - w * r] = data
     win = np.repeat(np.arange(num_windows, dtype=np.int32), passes)
-    return cols, vals, win
+    return cols, vals, win, pass_off
+
+
+def _chunk_plan(pass_off: np.ndarray, p: int, r: int,
+                max_slots: int) -> tuple:
+    """Split blocks into chunks of <= max_slots slots at window starts."""
+    num_windows = len(pass_off) - 1
+    max_blocks = max(1, max_slots // (p * r))
+    chunks = []
+    ws = 0
+    while ws < num_windows:
+        # furthest window end keeping the block count within budget
+        we = int(np.searchsorted(pass_off, pass_off[ws] + max_blocks,
+                                 side="right")) - 1
+        we = max(we, ws + 1)
+        chunks.append((int(pass_off[ws]), int(pass_off[we]), ws, int(we)))
+        ws = we
+    return tuple(chunks)
 
 
 def _tile(indptr, indices, data, n, r, p, prefer_native):
@@ -143,7 +173,11 @@ def _tile(indptr, indices, data, n, r, p, prefer_native):
         from gcn_tpu.tile import native
 
         if native.available():
-            return native.ell_arrays(indptr, indices, data, n, r, p)
+            cols, vals, win = native.ell_arrays(indptr, indices, data, n,
+                                                r, p)
+            nw = max(1, -(-n // r))
+            off = np.searchsorted(win, np.arange(nw + 1)).astype(np.int64)
+            return cols, vals, win, off
     return _ell_arrays(indptr, indices, data, n, r, p)
 
 
@@ -154,6 +188,7 @@ def ell_adjacency(
     k_pad: int = DEFAULT_K_PAD,
     symmetric: Optional[bool] = None,
     prefer_native: bool = True,
+    chunk_slots: int = DEFAULT_CHUNK_SLOTS,
 ) -> EllAdj:
     """Tile a CSR graph into the EllAdj device format for feature widths
     <= ``k_pad`` (wider x is processed in k_pad-column chunks).
@@ -168,19 +203,22 @@ def ell_adjacency(
     if symmetric is None:
         symmetric = g.shape[0] == g.shape[1] and g.is_symmetric()
     n, m = g.shape
-    cols, vals, win = _tile(g.indptr, g.indices, g.data, n, r, p,
-                            prefer_native)
+    cols, vals, win, off = _tile(g.indptr, g.indices, g.data, n, r, p,
+                                 prefer_native)
+    chunks = _chunk_plan(off, p, r, chunk_slots)
     cols_j, vals_j, win_j = jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(win)
     if symmetric:
         t = (cols_j, vals_j, win_j)
+        t_chunks = chunks
     else:
         gt = g.transpose()
-        tc, tv, tw = _tile(gt.indptr, gt.indices, gt.data, m, r, p,
-                           prefer_native)
+        tc, tv, tw, toff = _tile(gt.indptr, gt.indices, gt.data, m, r, p,
+                                 prefer_native)
         t = (jnp.asarray(tc), jnp.asarray(tv), jnp.asarray(tw))
+        t_chunks = _chunk_plan(toff, p, r, chunk_slots)
     return EllAdj(
         cols=cols_j, vals=vals_j, win=win_j,
         t_cols=t[0], t_vals=t[1], t_win=t[2],
         n_rows=n, n_cols=m, nnz=g.nnz, r=r, k_pad=k_pad,
-        symmetric=bool(symmetric),
+        symmetric=bool(symmetric), chunks=chunks, t_chunks=t_chunks,
     )

@@ -133,7 +133,7 @@ def test_native_tiler_matches_numpy(rng):
     g = random_graph(rng, n=150, m=1200, symmetric=True)
     g = g.permute(degree_sort_order(g))
     for r, p in [(8, 4), (16, 2), (32, 1)]:
-        ref = _ell_arrays(g.indptr, g.indices, g.data, g.shape[0], r, p)
+        ref = _ell_arrays(g.indptr, g.indices, g.data, g.shape[0], r, p)[:3]
         nat = native.ell_arrays(g.indptr, g.indices, g.data, g.shape[0], r, p)
         for a, b in zip(ref, nat):
             np.testing.assert_array_equal(a, b)
@@ -165,3 +165,26 @@ def test_packed_gather_path_matches(rng, monkeypatch):
         out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
         ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_row_chunked_spmm_matches(rng):
+    """Tiny chunk budget forces multiple row chunks; numerics unchanged."""
+    g = random_graph(rng, n=200, m=1600, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    whole = ell_adjacency(g, r=16, k_pad=32)
+    chunked = ell_adjacency(g, r=16, k_pad=32, chunk_slots=1024)
+    assert len(chunked.chunks) > 1
+    # chunks partition the block range at window boundaries
+    assert chunked.chunks[0][0] == 0 and chunked.chunks[-1][1] == \
+        chunked.num_blocks
+    for (a, b) in zip(chunked.chunks[:-1], chunked.chunks[1:]):
+        assert a[1] == b[0] and a[3] == b[2]
+    x = jnp.asarray(rng.standard_normal((200, 16)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(spmm_ell(chunked, x)),
+                               np.asarray(spmm_ell(whole, x)),
+                               rtol=1e-6, atol=1e-6)
+    # grads too
+    g1 = jax.grad(lambda xx: jnp.sum(spmm_ell(chunked, xx) ** 2))(x)
+    g2 = jax.grad(lambda xx: jnp.sum(spmm_ell(whole, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)
