@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--load-path", default=None,
                     help="load params instead of training (the reference's "
                          "TEST branch, profiling_gcn.py:166-170)")
+    ap.add_argument("--profile-ops", action="store_true",
+                    help="after fit, print the per-op xw/af/bi timing "
+                         "table (gcn6.py:404-410 equivalent)")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +88,8 @@ def main():
     if args.save_path:
         model.save(args.save_path)
         print(f"saved params to {args.save_path}")
+    if args.profile_ops:
+        model.profile_ops()
     return acc
 
 

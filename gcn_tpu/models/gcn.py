@@ -279,6 +279,60 @@ class GCN:
                          with_relu=self.with_relu, train=False)
         return lp
 
+    def profile_ops(self, n_iters: int = 20, warmup: int = 5,
+                    verbose: bool = True) -> Timers:
+        """Per-op device-fenced timing table — the v5/v6 instrumentation
+        (gcn5.py:38-44, gcn6.py:404-410): xw (X@W), af (SpMM aggregation),
+        bi (bias) per layer, plus whole fwd and bwd. Runs each op as its
+        own fenced dispatch, so numbers are per-op upper bounds (no
+        cross-op fusion); see utils.profiling.device_trace for fused
+        op-level views."""
+        assert self.params is not None and self.adj_norm is not None, \
+            "call fit() first"
+        t = Timers()
+        x = self.features
+        adj = self.adj_norm
+        p = self.params
+        xw = jax.jit(lambda w, a: jnp.dot(a, w,
+                                          preferred_element_type=a.dtype))
+        af = jax.jit(spmm)
+        bi = jax.jit(lambda h, b: h + b)
+
+        def fwd(pp):
+            from gcn_tpu.models.gcn_core import gcn_forward
+
+            return gcn_forward(pp, x, adj, adj, orders=("a_xw", "a_xw"),
+                               dropout_rate=0.0, with_relu=self.with_relu,
+                               train=False)
+
+        fwd_j = jax.jit(fwd)
+        bwd_j = jax.jit(jax.grad(lambda pp: jnp.sum(fwd(pp))))
+        for i in range(n_iters + warmup):
+            if i == warmup:
+                t.reset()
+            with t("l1_xw").d as tm:
+                h = tm.fence(xw(p["gc1"]["w"], x))
+            with t("l1_af").d as tm:
+                h = tm.fence(af(adj, h))
+            if "b" in p["gc1"]:
+                with t("l1_bi").d as tm:
+                    h = tm.fence(bi(h, p["gc1"]["b"]))
+            h = jax.nn.relu(h)
+            with t("l2_xw").d as tm:
+                h2 = tm.fence(xw(p["gc2"]["w"], h))
+            with t("l2_af").d as tm:
+                h2 = tm.fence(af(adj, h2))
+            if "b" in p["gc2"]:
+                with t("l2_bi").d as tm:
+                    tm.fence(bi(h2, p["gc2"]["b"]))
+            with t("fwd").d as tm:
+                tm.fence(fwd_j(p))
+            with t("bwd").d as tm:
+                tm.fence(bwd_j(p))
+        if verbose:
+            print(t.report())
+        return t
+
     def save(self, path: str) -> None:
         """Save trained parameters (the torch.save analogue,
         profiling_gcn.py:165)."""

@@ -171,3 +171,15 @@ def test_hoist_ax_numerically_identical(data):
         outs[hoist] = np.asarray(m.output)
     np.testing.assert_allclose(outs[True], outs[False], rtol=5e-4,
                                atol=5e-5)
+
+
+def test_profile_ops_table(data):
+    from gcn_tpu.models import GCN
+
+    m = GCN(data.num_features, 8, data.num_classes, variant="v4", seed=0)
+    m.fit(data.features, data.adj, data.labels, data.idx_train,
+          train_iters=2)
+    t = m.profile_ops(n_iters=2, warmup=1, verbose=False)
+    names = set(t.names() if callable(t.names) else t.names)
+    assert {"l1_xw", "l1_af", "l1_bi", "l2_xw", "l2_af", "l2_bi", "fwd",
+            "bwd"} <= names
