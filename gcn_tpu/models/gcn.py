@@ -151,13 +151,19 @@ class GCN:
         mode: str = "auto",
         name: str = "dataset",
         jit_loop: bool = True,
+        dump_adj_csv: Optional[str] = None,
     ):
-        del name  # dataset-name-keyed behavior is dimension-driven here
         g = _as_csr(adj)
         x = _as_dense_features(features)
         labels_np = np.asarray(labels)
         if normalize:
             g = gcn_normalize(g)
+        if dump_adj_csv:
+            # normalized-adjacency CSV dump for offline row analysis, the
+            # gcn3.py:198 save.write hook
+            from gcn_tpu.utils.writecsv import write as write_csv
+
+            write_csv(g, name, dump_adj_csv)
 
         # v6 preprocessing pipeline: reorder -> permute features/labels/idx.
         self.perm = self._inv_perm = None

@@ -65,6 +65,26 @@ def reorder_graph(g: CSRGraph, method: str = "rabbit", *,
     return g2, perm
 
 
+def reorder_stats(g: CSRGraph) -> dict:
+    """Rabbit community statistics — the printout the reference's pass
+    emits (renumber.cu:514-518): community count and modularity Q.
+
+    Runs the pure-python clustering (the native pass does not export its
+    dendrogram); intended for analysis, not the hot path.
+    """
+    from gcn_tpu.reorder import python_impl
+
+    _, communities = python_impl.rabbit_order(g, return_communities=True)
+    q = python_impl.modularity(g, communities)
+    sizes = np.bincount(communities)
+    return {
+        "communities": int(len(sizes)),
+        "modularity": float(q),
+        "largest_community": int(sizes.max()),
+        "singleton_communities": int((sizes == 1).sum()),
+    }
+
+
 def validate_permutation(perm: np.ndarray, n: int) -> None:
     assert perm.shape == (n,), f"perm shape {perm.shape} != ({n},)"
     seen = np.zeros(n, dtype=bool)

@@ -142,7 +142,8 @@ def gorder_order(g: CSRGraph, window: int = 5) -> np.ndarray:
     return order
 
 
-def rabbit_order(g: CSRGraph, max_rounds: int = 64) -> np.ndarray:
+def rabbit_order(g: CSRGraph, max_rounds: int = 64,
+                 return_communities: bool = False):
     """Community-clustering order by greedy modularity merging.
 
     Re-derivation of the Rabbit pass (renumber.cu:319-522; Arai et al.):
@@ -158,11 +159,13 @@ def rabbit_order(g: CSRGraph, max_rounds: int = 64) -> np.ndarray:
     """
     n = g.shape[0]
     if n == 0:
-        return np.empty(0, dtype=np.int32)
+        out = np.empty(0, dtype=np.int32)
+        return (out, out.copy()) if return_communities else out
     rows, cols, vals = g.to_coo()
     two_m = float(vals.sum())
     if two_m <= 0:
-        return np.arange(n, dtype=np.int32)
+        out = np.arange(n, dtype=np.int32)
+        return (out, np.zeros(n, np.int32)) if return_communities else out
 
     # Super-vertex state. parent: union-find; adj: dict neighbor->weight;
     # wdeg: weighted degree; children: dendrogram forest.
@@ -239,16 +242,20 @@ def rabbit_order(g: CSRGraph, max_rounds: int = 64) -> np.ndarray:
     # Emit dendrogram leaves: DFS from each root; every tree node is itself a
     # real vertex, so emit the node before its children.
     order = np.empty(n, dtype=np.int32)
+    communities = np.empty(n, dtype=np.int32)
     pos = 0
     roots = [u for u in range(n) if parent[u] == u]
-    for root in roots:
+    for ci, root in enumerate(roots):
         stack = [root]
         while stack:
             u = stack.pop()
             order[pos] = u
+            communities[u] = ci
             pos += 1
             stack.extend(children[u])
     assert pos == n
+    if return_communities:
+        return order, communities
     return order
 
 

@@ -183,3 +183,14 @@ def test_profile_ops_table(data):
     names = set(t.names() if callable(t.names) else t.names)
     assert {"l1_xw", "l1_af", "l1_bi", "l2_xw", "l2_af", "l2_bi", "fwd",
             "bwd"} <= names
+
+
+def test_dump_adj_csv_hook(data, tmp_path):
+    from gcn_tpu.models import GCN
+    from gcn_tpu.utils.writecsv import read as csv_read
+
+    m = GCN(data.num_features, 8, data.num_classes, variant="v3", seed=0)
+    m.fit(data.features, data.adj, data.labels, data.idx_train,
+          train_iters=2, name="toy", dump_adj_csv=str(tmp_path))
+    g2 = csv_read(str(tmp_path / "toy.csv"))
+    assert g2.nnz > 0 and g2.shape[0] == data.num_nodes

@@ -83,3 +83,23 @@ def test_modularity_positive_on_sbm():
     g, labels = sbm(n=400, n_classes=4, avg_degree=12.0, seed=5, shuffle=False)
     q = python_impl.modularity(g, labels.astype(np.int64))
     assert q > 0.3
+
+
+def test_rabbit_communities_and_stats(rng):
+    from gcn_tpu.data.synthetic import sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.reorder import reorder_stats
+    from gcn_tpu.reorder.python_impl import modularity, rabbit_order
+
+    adj, labels = sbm(n=200, n_classes=4, avg_degree=10.0, seed=5)
+    g = gcn_normalize(adj)
+    order, comm = rabbit_order(g, return_communities=True)
+    assert sorted(order) == list(range(200))
+    # vertices of one community are contiguous in the order
+    seen_comm = comm[order]
+    changes = (np.diff(seen_comm) != 0).sum()
+    assert changes == len(np.unique(comm)) - 1
+    stats = reorder_stats(g)
+    assert stats["communities"] >= 1
+    # SBM with strong intra-class blocks: positive modularity
+    assert stats["modularity"] > 0.2
