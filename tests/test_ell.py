@@ -188,3 +188,12 @@ def test_row_chunked_spmm_matches(rng):
     g2 = jax.grad(lambda xx: jnp.sum(spmm_ell(whole, xx) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_empty_graph(rng):
+    g = CSRGraph(indptr=np.zeros(33, np.int32), indices=np.zeros(0, np.int32),
+                 data=np.zeros(0, np.float32), shape=(32, 32))
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    x = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
+    out = np.asarray(spmm_ell(adj, x))
+    np.testing.assert_array_equal(out, np.zeros((32, 8), np.float32))

@@ -254,3 +254,39 @@ class TestHaloExchange:
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(results["ell"][1], results["segsum"][1],
                                    rtol=1e-3, atol=1e-4)
+
+    def test_halo_with_empty_band(self, rng):
+        """A shard whose band has no edges must not break the plan."""
+        import jax
+
+        from gcn_tpu.graph.csr import coo_to_csr
+        from gcn_tpu.graph.normalize import gcn_normalize
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.parallel import (build_halo_plan, create_mesh,
+                                      make_sharded_gcn_train_step,
+                                      shard_graph_by_rows)
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        n = 256
+        # all edges among the first 64 rows: bands 2-4 empty
+        src = rng.integers(0, 64, 400)
+        dst = rng.integers(0, 64, 400)
+        g = gcn_normalize(coo_to_csr(
+            src, dst, np.ones(400, np.float32), (n, n)).symmetrize())
+        sg = shard_graph_by_rows(g, 4)
+        plan = build_halo_plan(sg)
+        mesh = create_mesh(4)
+        tx = adam_l2()
+        params = init_gcn_params(jax.random.PRNGKey(0), 8, 4, 3)
+        for kernel in ("segsum", "ell"):
+            step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                mesh, sg, tx, dropout=0.0, exchange="halo", kernel=kernel)
+            x = rng.standard_normal((n, 8)).astype(np.float32)
+            labels = rng.integers(0, 3, n)
+            adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                       pad_rows(labels, sg),
+                                       pad_rows(np.ones(n, np.float32), sg))
+            p, o, loss = step(params, tx.init(params),
+                              jax.random.PRNGKey(1), adj, xs, ys, ms)
+            assert np.isfinite(float(loss))
