@@ -290,3 +290,23 @@ class TestHaloExchange:
             p, o, loss = step(params, tx.init(params),
                               jax.random.PRNGKey(1), adj, xs, ys, ms)
             assert np.isfinite(float(loss))
+
+    def test_band_degree_sort_preserves_boundary(self, rng):
+        from gcn_tpu.parallel import build_halo_plan, shard_graph_by_rows
+        from gcn_tpu.parallel.partition import band_degree_sort_order
+        from gcn_tpu.tile import ell_adjacency
+
+        g, x, labels, sg = self._setup(rng, n=512)
+        plan0 = build_halo_plan(sg)
+        rps = sg.rows_per_shard
+        perm = band_degree_sort_order(g, rps)
+        g2 = g.permute(perm)
+        sg2 = shard_graph_by_rows(g2, sg.n_shards)
+        plan2 = build_halo_plan(sg2)
+        # boundary size unchanged (rows only relabel within their band)
+        assert plan2.h_max == plan0.h_max
+        assert abs(sg2.boundary_fraction() - sg.boundary_fraction()) < 1e-9
+        # per-band fill improves (or at worst matches)
+        f0 = ell_adjacency(g, r=16).pad_fraction
+        f2 = ell_adjacency(g2, r=16).pad_fraction
+        assert f2 <= f0 + 1e-9
