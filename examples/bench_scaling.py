@@ -31,12 +31,20 @@ def bench_devices(d, nodes_per_device, steps, kernel, exchange, seed=0):
     from gcn_tpu.reorder import reorder_graph
     from gcn_tpu.train.optim import adam_l2
 
+    from gcn_tpu.parallel import band_degree_sort_order
+
     n = nodes_per_device * d
     adj, labels = sbm(n=n, n_classes=8, avg_degree=14.0, seed=seed)
     g = gcn_normalize(adj)
     g, perm = reorder_graph(g, "rabbit")
     x = class_features(labels, feat_dim=64, seed=seed)[perm]
     labels = labels[perm]
+    # in-band degree sort: per-shard ELL fill without disturbing the
+    # community-aligned bands (see examples/ablate_reorder.py)
+    from gcn_tpu.parallel.partition import rows_per_shard_for
+
+    bperm = band_degree_sort_order(g, rows_per_shard_for(n, d))
+    g, x, labels = g.permute(bperm), x[bperm], labels[bperm]
 
     mesh = create_mesh(d)
     sg = shard_graph_by_rows(g, d)

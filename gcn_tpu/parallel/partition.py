@@ -66,11 +66,16 @@ class ShardedGraph:
         return float(off.sum() / max(self.nnz, 1))
 
 
+def rows_per_shard_for(n: int, n_shards: int) -> int:
+    """Band height shard_graph_by_rows will use for (n, n_shards)."""
+    return _round_up(_round_up(n, n_shards) // n_shards, 8)
+
+
 def shard_graph_by_rows(g: CSRGraph, n_shards: int,
                         pad_edges_to: Optional[int] = None) -> ShardedGraph:
     """Partition a (square) graph into equal contiguous row bands."""
     n = g.shape[0]
-    rows_per_shard = _round_up(_round_up(n, n_shards) // n_shards, 8)
+    rows_per_shard = rows_per_shard_for(n, n_shards)
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(g.indptr))
     shard = rows // rows_per_shard
     counts = np.bincount(shard, minlength=n_shards)
