@@ -39,12 +39,23 @@ def init_hgnn_params(key, in_ch: int, n_hid: int, n_class: int,
 
 
 def hgnn_forward(params, x, g_adj, *, dropout: float = 0.5,
-                 train: bool = False, rng=None):
+                 train: bool = False, rng=None, gx=None, g_rowsum=None):
     """Returns logits (n, n_class). HGNN_conv is x W + b then G @ (.)
-    (HGNN.py:27-38) — i.e. the A(XW) contraction order."""
-    h = jnp.dot(x, params["hgc1"]["w"],
-                preferred_element_type=x.dtype) + params["hgc1"]["b"]
-    h = spmm(g_adj, h)
+    (HGNN.py:27-38) — i.e. the A(XW) contraction order.
+
+    When ``gx``/``g_rowsum`` are given, layer 1 uses the training-invariant
+    expansion G(XW + 1 b^T) = (GX)W + (G1)b^T — numerically identical and
+    SpMM-free (X is constant; dropout only applies after layer 1), halving
+    the per-epoch SpMM count like the GCN hoist (gcn_tpu/models/gcn.py).
+    """
+    if gx is not None:
+        h = (jnp.dot(gx, params["hgc1"]["w"],
+                     preferred_element_type=gx.dtype)
+             + g_rowsum[:, None] * params["hgc1"]["b"][None, :])
+    else:
+        h = jnp.dot(x, params["hgc1"]["w"],
+                    preferred_element_type=x.dtype) + params["hgc1"]["b"]
+        h = spmm(g_adj, h)
     h = jax.nn.relu(h)
     if train and dropout > 0:
         h = dropout_fn(rng, h, dropout, train=True)
@@ -122,13 +133,25 @@ class HGNN:
         opt_state = tx.init(self.params)
         rng = jax.random.PRNGKey(self.seed + 1)
 
+        # hoist the training-invariant layer-1 aggregation: GX in eager
+        # feature chunks (wide .mat features) + the row sums for the bias
+        # term — see hgnn_forward's G(XW+b) = (GX)W + (G1)b^T expansion
+        chunk = getattr(adj, "k_pad", 32)
+        with self.timers("hoist_gx").d as t:
+            parts = [jax.jit(spmm)(adj, x[:, c:c + chunk])
+                     for c in range(0, x.shape[1], chunk)]
+            gx = t.fence(jnp.concatenate(parts, axis=1)
+                         if len(parts) > 1 else parts[0])
+        g_rowsum = jax.jit(spmm)(adj, jnp.ones((x.shape[0], 1),
+                                               jnp.float32))[:, 0]
+
         # graph-sized arrays enter every jitted program as ARGUMENTS, not
         # closure constants (constants blow up the executable at scale)
         @jax.jit
-        def step_a(p, o, xx, aa, yl, idx, r):
+        def step_a(p, o, zz, rs, aa, yl, idx, r):
             def loss_fn(pp):
-                logits = hgnn_forward(pp, xx, aa, dropout=self.dropout,
-                                      train=True, rng=r)
+                logits = hgnn_forward(pp, None, aa, dropout=self.dropout,
+                                      train=True, rng=r, gx=zz, g_rowsum=rs)
                 return cross_entropy(logits, yl, idx)
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -136,27 +159,28 @@ class HGNN:
             return optax.apply_updates(p, updates), o, loss
 
         @jax.jit
-        def evaluate_a(p, xx, aa):
-            return hgnn_forward(p, xx, aa, train=False)
+        def evaluate_a(p, zz, rs, aa):
+            return hgnn_forward(p, None, aa, train=False, gx=zz,
+                                g_rowsum=rs)
 
         def step(p, o, r):
-            return step_a(p, o, x, adj, labels, idx_train, r)
+            return step_a(p, o, gx, g_rowsum, adj, labels, idx_train, r)
 
         def evaluate(p):
-            return evaluate_a(p, x, adj)
+            return evaluate_a(p, gx, g_rowsum, adj)
 
         if jit_loop:
             # whole-run lax.scan: one device dispatch (see train/loop.py)
             # step_a / evaluate_a are reused directly: nested jit inlines
             # under trace, so the two loop flavors cannot diverge.
             @jax.jit
-            def run_all(c0, xx, aa, yl, idx_tr, idx_v):
+            def run_all(c0, zz, rs, aa, yl, idx_tr, idx_v):
                 def body(carry, _):
                     p, o, r, best_p, best_acc = carry
                     r, rr = jax.random.split(r)
-                    p, o, loss = step_a(p, o, xx, aa, yl, idx_tr, rr)
+                    p, o, loss = step_a(p, o, zz, rs, aa, yl, idx_tr, rr)
                     if idx_val is not None:
-                        logits = evaluate_a(p, xx, aa)
+                        logits = evaluate_a(p, zz, rs, aa)
                         acc = accuracy(jax.nn.log_softmax(logits, 1), yl,
                                        idx_v)
                         take = acc > best_acc
@@ -174,8 +198,8 @@ class HGNN:
             idx_v = idx_val if idx_val is not None else jnp.zeros(
                 1, jnp.int32)
             with self.timers("fit_scan").d as t:
-                carry, (losses, accs) = run_all(c0, x, adj, labels,
-                                                idx_train, idx_v)
+                carry, (losses, accs) = run_all(c0, gx, g_rowsum, adj,
+                                                labels, idx_train, idx_v)
                 t.fence(losses)
             self.params, _, _, best_params, best_acc = carry
             if idx_val is not None:

@@ -76,3 +76,27 @@ def test_hgnn_trains(feats):
     model.fit(x, g, labels, idx_train, idx_val, num_epochs=120)
     acc = model.test(idx_test, verbose=False)
     assert acc > 0.8, f"HGNN accuracy too low: {acc}"
+
+
+def test_hgnn_gx_expansion_identical(rng):
+    """G(XW + 1b^T) == (GX)W + (G1)b^T — the layer-1 hoist expansion."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcn_tpu.graph.csr import CSRGraph
+    from gcn_tpu.models.hgnn import hgnn_forward, init_hgnn_params
+    from gcn_tpu.ops.adjacency import dense_adjacency
+    from gcn_tpu.ops.spmm import spmm
+
+    n, f = 40, 12
+    dense = rng.random((n, n)).astype(np.float32) * (rng.random((n, n)) < 0.2)
+    adj = dense_adjacency(CSRGraph.from_dense(dense))
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    params = init_hgnn_params(jax.random.PRNGKey(0), f, 8, 4)
+    plain = hgnn_forward(params, x, adj, train=False)
+    gx = spmm(adj, x)
+    rs = spmm(adj, jnp.ones((n, 1), jnp.float32))[:, 0]
+    hoisted = hgnn_forward(params, None, adj, train=False, gx=gx,
+                           g_rowsum=rs)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(hoisted),
+                               rtol=1e-5, atol=1e-5)
