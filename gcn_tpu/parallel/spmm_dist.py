@@ -9,9 +9,10 @@ activations from every band, so the step is:
 
 All-gathering at the layer's narrow width (the SpMM always runs at
 min(n_in, n_out) thanks to the contraction-order rule, gcn_tpu.models.layers
-.auto_order) keeps the exchanged bytes small: n * k * 4 per layer. A
-halo-exchange variant (send only boundary rows) is the planned refinement;
-`ShardedGraph.boundary_fraction` measures what it would save.
+.auto_order) keeps the exchanged bytes small: n * k * 4 per layer. This is
+the simple baseline; the default halo-exchange path (boundary rows only,
+gcn_tpu.parallel.halo) replaces it, and `ShardedGraph.boundary_fraction`
+measures the difference.
 """
 
 from __future__ import annotations
