@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--profile-ops", action="store_true",
                     help="after fit, print the per-op xw/af/bi timing "
                          "table (gcn6.py:404-410 equivalent)")
+    ap.add_argument("--history-json", default=None,
+                    help="write per-iteration loss (+val) records as JSON")
     args = ap.parse_args()
 
     import jax
@@ -90,6 +92,15 @@ def main():
         print(f"saved params to {args.save_path}")
     if args.profile_ops:
         model.profile_ops()
+    if args.history_json:
+        import json
+
+        with open(args.history_json, "w") as f:
+            json.dump({"graph": args.graph, "variant": args.variant,
+                       "hidden": args.hidden, "acc_test": acc,
+                       "best_iter": model.best_iter,
+                       "history": model.history}, f)
+        print(f"wrote {args.history_json}")
     return acc
 
 

@@ -113,7 +113,9 @@ class GCN:
         self.perm = None              # perm[new] = old vertex id, or None
         self._inv_perm = None         # inv[old] = new
         self.output = None            # eval-mode log-probs, ORIGINAL order
-        self._hoisted_ax = None       # v2: precomputed A @ X
+        self.history = []             # per-iter loss (+val) records
+        self.best_iter = -1
+        self._hoisted_ax = None       # precomputed A @ X (hoist_ax)
 
     # ------------------------------------------------------------------ fit
 
@@ -265,6 +267,8 @@ class GCN:
         if self.perm is not None:
             lp = lp[self._inv_perm]  # back to original vertex order
         self.output = jnp.asarray(lp)
+        self.history = result.history       # per-iter loss (+val) records
+        self.best_iter = result.best_iter
         return self
 
     # ----------------------------------------------------------- evaluation
