@@ -46,11 +46,11 @@ def _reduce_kernel(win_ref, prod_ref, out_ref):
 
     @pl.when(first)
     def _():
-        out_ref[:] = prod_ref[:]
+        out_ref[:] = prod_ref[:].astype(out_ref.dtype)
 
     @pl.when(jnp.logical_not(first))
     def _():
-        out_ref[:] += prod_ref[:]
+        out_ref[:] += prod_ref[:].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "k_pad", "n_rows"))
@@ -110,16 +110,17 @@ def _packed_gather_stride_sum(cols, vals, x, k_pad):
                                                       (mm + 1) * k_pad]
             part = t if part is None else part + t
         acc = part if acc is None else acc + part
-    return acc.astype(jnp.float32)
+    return acc
 
 
-def _gather_stride_sum(cols, vals, x, k_pad):
-    """sum_j x[cols[:, j, :]] * vals[:, j, :] -> (num_blocks*R, k_pad) f32."""
+def _gather_stride_sum(cols, vals, x, k_pad, out_dtype=jnp.float32):
+    """sum_j x[cols[:, j, :]] * vals[:, j, :] -> (num_blocks*R, k_pad)."""
     k = x.shape[1]
     if k < k_pad:
         x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
     if k_pad < 128 and x.shape[0] > _PACK_TABLE_ROWS:
-        return _packed_gather_stride_sum(cols, vals, x, k_pad)
+        return _packed_gather_stride_sum(cols, vals, x, k_pad).astype(
+            out_dtype)
     p = cols.shape[1]
     acc = None
     for j in range(p):
@@ -127,16 +128,18 @@ def _gather_stride_sum(cols, vals, x, k_pad):
         v = vals[:, j, :].reshape(-1)
         t = jnp.take(x, c, axis=0) * v[:, None].astype(x.dtype)
         acc = t if acc is None else acc + t
-    return acc.astype(jnp.float32)
+    return acc.astype(out_dtype)
 
 
-def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None):
+def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None,
+                   products_bf16=False):
     k = x.shape[1]
+    pdt = jnp.bfloat16 if products_bf16 else jnp.float32
     if k > k_pad:
         # wide features: process in k_pad-column chunks
         parts = [
             _spmm_ell_impl(cols, vals, win, x[:, c:c + k_pad],
-                           r, k_pad, n_rows, chunks)
+                           r, k_pad, n_rows, chunks, products_bf16)
             for c in range(0, k, k_pad)
         ]
         return jnp.concatenate(parts, axis=1)
@@ -145,13 +148,14 @@ def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None):
         # to one chunk's slots however large the graph (tile/ell.py)
         outs = []
         for bs, be, ws, we in chunks:
-            products = _gather_stride_sum(cols[bs:be], vals[bs:be], x, k_pad)
+            products = _gather_stride_sum(cols[bs:be], vals[bs:be], x,
+                                          k_pad, pdt)
             rows = min((we - ws) * r, n_rows - ws * r)
             outs.append(_ell_reduce(win[bs:be] - ws, products, r=r,
                                     k_pad=k_pad, n_rows=rows))
         out = jnp.concatenate(outs, axis=0)
     else:
-        products = _gather_stride_sum(cols, vals, x, k_pad)
+        products = _gather_stride_sum(cols, vals, x, k_pad, pdt)
         out = _ell_reduce(win, products, r=r, k_pad=k_pad, n_rows=n_rows)
     return out[:, :k] if k < k_pad else out
 
@@ -164,7 +168,8 @@ def spmm_ell(adj: EllAdj, x: jnp.ndarray) -> jnp.ndarray:
     docstring.
     """
     return _spmm_ell_impl(adj.cols, adj.vals, adj.win, x,
-                          adj.r, adj.k_pad, adj.n_rows, adj.chunks)
+                          adj.r, adj.k_pad, adj.n_rows, adj.chunks,
+                          adj.products_bf16)
 
 
 def _spmm_ell_fwd(adj, x):
@@ -175,8 +180,8 @@ def _spmm_ell_fwd(adj, x):
 def _spmm_ell_bwd(res, g):
     adj, x_token = res
     dx = _spmm_ell_impl(adj.t_cols, adj.t_vals, adj.t_win, g,
-                        adj.r, adj.k_pad, adj.n_cols,
-                        adj.t_chunks).astype(x_token.dtype)
+                        adj.r, adj.k_pad, adj.n_cols, adj.t_chunks,
+                        adj.products_bf16).astype(x_token.dtype)
 
     def _zt(a):
         return np.zeros(a.shape, dtype=jax.dtypes.float0)
@@ -187,6 +192,7 @@ def _spmm_ell_bwd(res, g):
         t_win=_zt(adj.t_win), n_rows=adj.n_rows,
         n_cols=adj.n_cols, nnz=adj.nnz, r=adj.r, k_pad=adj.k_pad,
         symmetric=adj.symmetric, chunks=adj.chunks, t_chunks=adj.t_chunks,
+        products_bf16=adj.products_bf16,
     )
     return d_adj, dx
 

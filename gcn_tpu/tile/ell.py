@@ -62,7 +62,7 @@ DEFAULT_CHUNK_SLOTS = 8_000_000
     jax.tree_util.register_dataclass,
     data_fields=["cols", "vals", "win", "t_cols", "t_vals", "t_win"],
     meta_fields=["n_rows", "n_cols", "nnz", "r", "k_pad", "symmetric",
-                 "chunks", "t_chunks"],
+                 "chunks", "t_chunks", "products_bf16"],
 )
 @dataclasses.dataclass(frozen=True)
 class EllAdj:
@@ -94,6 +94,11 @@ class EllAdj:
     symmetric: bool
     chunks: tuple
     t_chunks: tuple
+    # store per-slot gather products as bf16 (halves the padded products
+    # write+read traffic; pass-accumulation stays exact f32 in the kernel).
+    # One bf16 rounding per slot-sum: opt-in for training runs that accept
+    # ~1e-3 relative error on the aggregation.
+    products_bf16: bool = False
 
     @property
     def p(self) -> int:
@@ -189,6 +194,7 @@ def ell_adjacency(
     symmetric: Optional[bool] = None,
     prefer_native: bool = True,
     chunk_slots: int = DEFAULT_CHUNK_SLOTS,
+    products_bf16: bool = False,
 ) -> EllAdj:
     """Tile a CSR graph into the EllAdj device format for feature widths
     <= ``k_pad`` (wider x is processed in k_pad-column chunks).
@@ -221,4 +227,5 @@ def ell_adjacency(
         t_cols=t[0], t_vals=t[1], t_win=t[2],
         n_rows=n, n_cols=m, nnz=g.nnz, r=r, k_pad=k_pad,
         symmetric=bool(symmetric), chunks=chunks, t_chunks=t_chunks,
+        products_bf16=products_bf16,
     )

@@ -197,3 +197,15 @@ def test_empty_graph(rng):
     x = jnp.asarray(rng.standard_normal((32, 8)).astype(np.float32))
     out = np.asarray(spmm_ell(adj, x))
     np.testing.assert_array_equal(out, np.zeros((32, 8), np.float32))
+
+
+def test_products_bf16_close(rng):
+    g = random_graph(rng, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    exact = ell_adjacency(g, r=16)
+    fast = ell_adjacency(g, r=16, products_bf16=True)
+    x = jnp.asarray(rng.standard_normal((g.shape[0], 16)).astype(np.float32))
+    a = np.asarray(spmm_ell(exact, x))
+    b = np.asarray(spmm_ell(fast, x))
+    np.testing.assert_allclose(b, a, rtol=2e-2, atol=2e-2)
+    assert np.abs(b - a).max() > 0  # really took the bf16 path
