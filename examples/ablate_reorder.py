@@ -24,7 +24,7 @@ import sys
 import time
 
 
-def measure(g, method, deg_sort, shards, k, backend_tpu):
+def measure(g, method, deg_sort, shards, k):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -81,8 +81,9 @@ def main():
     rows = []
     for method in args.methods:
         for deg_sort in (False, True):
-            r = measure(g, method, deg_sort, args.shards, args.width,
-                        jax.default_backend() == "tpu")
+            if deg_sort and method in ("identity", "degree"):
+                continue  # composed permutation identical to plain degree
+            r = measure(g, method, deg_sort, args.shards, args.width)
             rows.append(r)
             print(json.dumps(r), flush=True)
     # summary: best by each criterion

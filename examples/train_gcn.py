@@ -73,6 +73,8 @@ def main():
                              jnp.asarray(np.asarray(data.idx_test),
                                          dtype=jnp.int32)))
         print(f"Loaded params: test accuracy= {acc:.4f}")
+        if args.history_json:
+            print("--history-json ignored with --load-path (no training ran)")
         return acc
 
     t0 = time.time()

@@ -234,15 +234,11 @@ class GCN:
             # one chunk's gather products are ever live (a single jit over
             # all of X materializes every chunk at once — OOM at
             # reddit/yelp scale).
+            from gcn_tpu.ops.spmm import hoist_spmm
+
             with self.timers("hoist_ax").d as t:
-                chunk = getattr(self.adj_norm, "k_pad", 32)
-                parts = [
-                    jax.jit(spmm)(self.adj_norm,
-                                  self.features[:, c:c + chunk])
-                    for c in range(0, self.nfeat, chunk)
-                ]
-                self._hoisted_ax = t.fence(jnp.concatenate(parts, axis=1)
-                                           if len(parts) > 1 else parts[0])
+                self._hoisted_ax = t.fence(
+                    hoist_spmm(self.adj_norm, self.features))
             feats = self._hoisted_ax
 
         # graph-sized arrays ride fit_gcn's forward_data (JIT arguments,

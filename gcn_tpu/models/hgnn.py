@@ -136,12 +136,10 @@ class HGNN:
         # hoist the training-invariant layer-1 aggregation: GX in eager
         # feature chunks (wide .mat features) + the row sums for the bias
         # term — see hgnn_forward's G(XW+b) = (GX)W + (G1)b^T expansion
-        chunk = getattr(adj, "k_pad", 32)
+        from gcn_tpu.ops.spmm import hoist_spmm
+
         with self.timers("hoist_gx").d as t:
-            parts = [jax.jit(spmm)(adj, x[:, c:c + chunk])
-                     for c in range(0, x.shape[1], chunk)]
-            gx = t.fence(jnp.concatenate(parts, axis=1)
-                         if len(parts) > 1 else parts[0])
+            gx = t.fence(hoist_spmm(adj, x))
         g_rowsum = jax.jit(spmm)(adj, jnp.ones((x.shape[0], 1),
                                                jnp.float32))[:, 0]
 

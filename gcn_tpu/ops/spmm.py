@@ -95,3 +95,18 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
 
         return spmm_panel(adj, x)
     raise TypeError(f"unsupported adjacency representation: {type(adj)}")
+
+
+def hoist_spmm(adj, x: jnp.ndarray, chunk: int = None) -> jnp.ndarray:
+    """Aggregate ``A @ x`` once, in EAGER column chunks.
+
+    For training-invariant hoists over wide feature matrices (the gcn2
+    trick): one jit over all of X materializes every chunk's gather
+    products simultaneously (OOM at reddit/yelp scale), so each chunk is
+    dispatched eagerly and only one chunk's products are ever live.
+    """
+    if chunk is None:
+        chunk = getattr(adj, "k_pad", 32)
+    parts = [jax.jit(spmm)(adj, x[:, c:c + chunk])
+             for c in range(0, x.shape[1], chunk)]
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]

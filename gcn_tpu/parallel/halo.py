@@ -150,7 +150,7 @@ def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
 
 
 def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
-                      k_pad: int = 32):
+                      k_pad: int = 32, products_bf16: bool = False):
     """Per-shard EllAdj over the halo-remapped band matrices, stacked on a
     leading shard axis (block counts padded to the max shard)."""
     from gcn_tpu.graph.csr import CSRGraph, coo_to_csr
@@ -167,7 +167,8 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
             np.asarray(plan.col_remap[d])[real],
             vals[real], (rps, t_cols))
         shards.append(ell_adjacency(g_local, r=r, k_pad=k_pad,
-                                    symmetric=False))
+                                    symmetric=False,
+                                    products_bf16=products_bf16))
 
     def _stack(field, pad_win_field=None):
         arrs = [getattr(a, field) for a in shards]
@@ -192,7 +193,7 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
     }
     nw = -(-rps // r)
     meta = dict(n_rows=rps, n_cols=t_cols, nnz=shards[0].nnz, r=r,
-                k_pad=k_pad, symmetric=False,
+                k_pad=k_pad, symmetric=False, products_bf16=products_bf16,
                 chunks=((0, stacked["win"].shape[1], 0, nw),),
                 t_chunks=((0, stacked["t_win"].shape[1], 0,
                            -(-t_cols // r)),))
@@ -208,7 +209,8 @@ def unstack_ell_shard(adj_stacked):
     return EllAdj(**sq, n_rows=adj_stacked.n_rows, n_cols=adj_stacked.n_cols,
                   nnz=adj_stacked.nnz, r=adj_stacked.r,
                   k_pad=adj_stacked.k_pad, symmetric=False,
-                  chunks=adj_stacked.chunks, t_chunks=adj_stacked.t_chunks)
+                  chunks=adj_stacked.chunks, t_chunks=adj_stacked.t_chunks,
+                  products_bf16=adj_stacked.products_bf16)
 
 
 def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,
