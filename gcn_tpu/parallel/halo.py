@@ -150,21 +150,46 @@ def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
 
 
 def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
-                      k_pad: int = 32, products_bf16: bool = False):
+                      k_pad: int = 32, products_bf16: bool = False,
+                      part: str = "all"):
     """Per-shard EllAdj over the halo-remapped band matrices, stacked on a
-    leading shard axis (block counts padded to the max shard)."""
+    leading shard axis (block counts padded to the max shard).
+
+    part: "all" — one matrix over concat(halo, band) (t_cols = ns*H+rps);
+    "interior" — only on-band edges, columns renumbered into [0, rps)
+    (gathers straight from x_band, independent of the exchange);
+    "boundary" — only off-band edges over the halo region [0, ns*H).
+    interior+boundary splits let XLA overlap the all_to_all with the
+    interior aggregation (dist_spmm_halo_ell_overlap).
+    """
     from gcn_tpu.graph.csr import CSRGraph, coo_to_csr
     from gcn_tpu.tile.ell import EllAdj, ell_adjacency
 
     ns, rps = sg.n_shards, sg.rows_per_shard
-    t_cols = ns * plan.h_max + rps
+    halo_cols = ns * plan.h_max
+    if part == "all":
+        t_cols = halo_cols + rps
+    elif part == "interior":
+        t_cols = rps
+    else:
+        assert part == "boundary"
+        t_cols = halo_cols
     shards = []
     for d in range(ns):
         vals = np.asarray(sg.vals[d])
+        remap = np.asarray(plan.col_remap[d])
         real = vals != 0
+        if part == "interior":
+            real = real & (remap >= halo_cols)
+            cols_d = remap - halo_cols
+        elif part == "boundary":
+            real = real & (remap < halo_cols)
+            cols_d = remap
+        else:
+            cols_d = remap
         g_local = coo_to_csr(
             np.asarray(sg.rows_local[d])[real],
-            np.asarray(plan.col_remap[d])[real],
+            cols_d[real],
             vals[real], (rps, t_cols))
         shards.append(ell_adjacency(g_local, r=r, k_pad=k_pad,
                                     symmetric=False,
@@ -213,6 +238,16 @@ def unstack_ell_shard(adj_stacked):
                   products_bf16=adj_stacked.products_bf16)
 
 
+def _exchange_halo(plan_arrays, x_band, axis_name):
+    send_idx, _ = plan_arrays
+    ns_h = tuple(send_idx.shape[-2:])
+    send_idx = send_idx.reshape(ns_h)
+    send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
+    send = send.reshape(ns_h + (x_band.shape[1],))
+    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
+    return recv.reshape(ns_h[0] * ns_h[1], x_band.shape[1])
+
+
 def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,
                        axis_name: str = "data") -> jnp.ndarray:
     """Pallas-ELL SpMM of the local band with boundary-only exchange.
@@ -221,12 +256,26 @@ def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,
     (already unstacked), plan_arrays as in dist_spmm_halo."""
     from gcn_tpu.ops.ell_spmm import spmm_ell
 
-    send_idx, _ = plan_arrays
-    ns_h = tuple(send_idx.shape[-2:])
-    send_idx = send_idx.reshape(ns_h)
-    send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
-    send = send.reshape(ns_h + (x_band.shape[1],))
-    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
-    halo = recv.reshape(ns_h[0] * ns_h[1], x_band.shape[1])
+    halo = _exchange_halo(plan_arrays, x_band, axis_name)
     table = jnp.concatenate([halo, x_band], axis=0)
     return spmm_ell(ell_shard, table)
+
+
+def dist_spmm_halo_ell_overlap(ell_interior, ell_boundary, plan_arrays,
+                               x_band: jnp.ndarray,
+                               axis_name: str = "data") -> jnp.ndarray:
+    """Overlapped variant: interior aggregation has no data dependency on
+    the all_to_all, so XLA's async-collective scheduler can run the
+    exchange behind it (the halo-overlap BASELINE.md calls for):
+
+        halo     = all_to_all(boundary rows)      # async on TPU
+        interior = A_int  @ x_band                # overlaps the exchange
+        boundary = A_bnd  @ halo
+        out      = interior + boundary
+    """
+    from gcn_tpu.ops.ell_spmm import spmm_ell
+
+    halo = _exchange_halo(plan_arrays, x_band, axis_name)
+    interior = spmm_ell(ell_interior, x_band)
+    boundary = spmm_ell(ell_boundary, halo)
+    return interior + boundary

@@ -55,6 +55,7 @@ def make_sharded_gcn_train_step(
     axis: str = "data",
     exchange: str = "halo",
     kernel: str = "segsum",
+    overlap: bool = False,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
@@ -81,15 +82,28 @@ def make_sharded_gcn_train_step(
         assert exchange == "halo", "kernel='ell' requires exchange='halo'"
         from gcn_tpu.parallel.halo import (build_sharded_ell,
                                            dist_spmm_halo_ell,
+                                           dist_spmm_halo_ell_overlap,
                                            unstack_ell_shard)
 
-        ell_stacked = build_sharded_ell(sg, plan)
+        if overlap:
+            ell_int = build_sharded_ell(sg, plan, part="interior")
+            ell_bnd = build_sharded_ell(sg, plan, part="boundary")
 
-        def band_spmm(extra_shard, plan_shard, h):
-            return dist_spmm_halo_ell(unstack_ell_shard(extra_shard),
-                                      plan_shard, h, axis)
+            def band_spmm(extra_shard, plan_shard, h):
+                e_int, e_bnd = extra_shard
+                return dist_spmm_halo_ell_overlap(
+                    unstack_ell_shard(e_int), unstack_ell_shard(e_bnd),
+                    plan_shard, h, axis)
 
-        extra_dev = ell_stacked
+            extra_dev = (ell_int, ell_bnd)
+        else:
+            ell_stacked = build_sharded_ell(sg, plan)
+
+            def band_spmm(extra_shard, plan_shard, h):
+                return dist_spmm_halo_ell(unstack_ell_shard(extra_shard),
+                                          plan_shard, h, axis)
+
+            extra_dev = ell_stacked
     elif exchange == "halo":
         from gcn_tpu.parallel.halo import dist_spmm_halo
 

@@ -310,3 +310,39 @@ class TestHaloExchange:
         f0 = ell_adjacency(g, r=16).pad_fraction
         f2 = ell_adjacency(g2, r=16).pad_fraction
         assert f2 <= f0 + 1e-9
+
+    def test_overlap_split_matches(self, rng):
+        """interior+boundary overlapped path == monolithic ELL path."""
+        import jax
+
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.parallel import create_mesh, make_sharded_gcn_train_step
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        g, x, labels, sg = self._setup(rng)
+        mesh = create_mesh(4)
+        tx = adam_l2(0.01, 5e-4)
+        mask = np.ones(g.shape[0], np.float32)
+        results = {}
+        for overlap in (True, False):
+            params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+            step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                mesh, sg, tx, dropout=0.0, exchange="halo", kernel="ell",
+                overlap=overlap)
+            adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                       pad_rows(labels, sg),
+                                       pad_rows(mask, sg))
+            opt_state = tx.init(params)
+            losses = []
+            for _ in range(3):
+                params, opt_state, loss = step(params, opt_state,
+                                               jax.random.PRNGKey(7), adj,
+                                               xs, ys, ms)
+                losses.append(float(loss))
+            results[overlap] = (losses,
+                                np.asarray(eval_fn(params, adj, xs)))
+        np.testing.assert_allclose(results[True][0], results[False][0],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(results[True][1], results[False][1],
+                                   rtol=1e-3, atol=1e-4)
