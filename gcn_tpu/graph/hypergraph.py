@@ -95,6 +95,32 @@ def generate_G_from_H(h: np.ndarray,
     return out
 
 
+def generate_G_factors(h: np.ndarray, w: Optional[np.ndarray] = None):
+    """Factored form of generate_G_from_H: G = A1 @ A2 with
+    A1 = Dv^-1/2 H (W De^-1) and A2 = H^T Dv^-1/2, returned as two sparse
+    CSRGraphs (n x n_e) and (n_e x n).
+
+    The reference materializes the dense n x n chain
+    (hypergraph_utils.py:97-125); for large hypergraphs G has ~k^2
+    neighbors per vertex while H has only k entries per hyperedge, so
+    applying the two factors (gcn_tpu.ops.spmm.TwoHopAdj) is the scalable
+    formulation.
+    """
+    h = np.asarray(h, dtype=np.float64)
+    n, n_e = h.shape
+    if w is None:
+        w = np.ones(n_e, dtype=np.float64)
+    dv = (h * w[None, :]).sum(axis=1)
+    de = h.sum(axis=0)
+    with np.errstate(divide="ignore"):
+        inv_de = np.where(de > 0, 1.0 / de, 0.0)
+        inv_sqrt_dv = np.where(dv > 0, dv ** -0.5, 0.0)
+    a1 = inv_sqrt_dv[:, None] * h * (w * inv_de)[None, :]
+    a2 = h.T * inv_sqrt_dv[None, :]
+    return (CSRGraph.from_dense(a1.astype(np.float32)),
+            CSRGraph.from_dense(a2.astype(np.float32)))
+
+
 def construct_H_with_KNN_multi(
     features: Sequence[np.ndarray],
     k_neigs: Union[int, Sequence[int]] = 10,

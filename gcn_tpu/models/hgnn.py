@@ -101,24 +101,35 @@ class HGNN:
             optax.scale_by_learning_rate(schedule),
         )
 
-    def fit(self, features, G, labels, idx_train, idx_val=None, *,
-            num_epochs: int = 600, verbose: bool = False,
-            print_freq: int = 100, jit_loop: bool = True):
-        if isinstance(G, CSRGraph):
-            g_csr = G
-        elif hasattr(G, "tocsr"):
-            g_csr = CSRGraph.from_scipy(G)
-        else:
-            g_csr = CSRGraph.from_dense(np.asarray(G))
+    def _lower(self, g_csr: CSRGraph):
         kind = self.adj_kind
         if kind == "auto" and max(g_csr.shape) > 8192:
             # large hypergraph: packed-ELL kernel at the HGNN hidden width
             kind = "ell"
         if kind == "ell":
-            adj = device_adjacency(
+            return device_adjacency(
                 g_csr, "ell", k_pad=128 if self.n_hid > 64 else 32)
+        return device_adjacency(g_csr, kind)
+
+    def fit(self, features, G, labels, idx_train, idx_val=None, *,
+            num_epochs: int = 600, verbose: bool = False,
+            print_freq: int = 100, jit_loop: bool = True):
+        from gcn_tpu.ops.spmm import TwoHopAdj
+
+        if isinstance(G, TwoHopAdj):
+            adj = G
+        elif isinstance(G, tuple) and len(G) == 2:
+            # factored G = A1 @ A2 (graph.hypergraph.generate_G_factors):
+            # the scalable formulation — never materializes the n x n chain
+            adj = TwoHopAdj(*(self._lower(a) for a in G))
         else:
-            adj = device_adjacency(g_csr, kind)
+            if isinstance(G, CSRGraph):
+                g_csr = G
+            elif hasattr(G, "tocsr"):
+                g_csr = CSRGraph.from_scipy(G)
+            else:
+                g_csr = CSRGraph.from_dense(np.asarray(G))
+            adj = self._lower(g_csr)
         x = jnp.asarray(np.asarray(features), dtype=jnp.float32)
         labels = jnp.asarray(np.asarray(labels))
         idx_train = jnp.asarray(np.asarray(idx_train), dtype=jnp.int32)

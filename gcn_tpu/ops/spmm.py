@@ -21,6 +21,8 @@ custom VJP:
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,8 +78,29 @@ def _spmm_coo_bwd(res, g):
 _spmm_coo.defvjp(_spmm_coo_fwd, _spmm_coo_bwd)
 
 
+@jax.tree_util.register_dataclass
+@_dataclasses.dataclass(frozen=True)
+class TwoHopAdj:
+    """Factored operator A = A1 @ A2 applied as two SpMMs.
+
+    The hypergraph Laplacian-like G factors as (Dv^-1/2 H W De^-1) @
+    (H^T Dv^-1/2) — see graph.hypergraph.generate_G_factors; the factors
+    carry ~k entries per hyperedge where the materialized G carries ~k^2
+    per vertex. Works with any adjacency representation for each factor.
+    """
+
+    a1: object
+    a2: object
+
+    @property
+    def shape(self):
+        return (self.a1.shape[0], self.a2.shape[1])
+
+
 def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     """Differentiable sparse @ dense: returns ``A @ X`` of shape (m, k)."""
+    if isinstance(adj, TwoHopAdj):
+        return spmm(adj.a1, spmm(adj.a2, x))
     if isinstance(adj, DenseAdj):
         return jnp.dot(adj.mat, x, preferred_element_type=x.dtype)
     if isinstance(adj, CooAdj):

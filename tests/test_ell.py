@@ -209,3 +209,24 @@ def test_products_bf16_close(rng):
     b = np.asarray(spmm_ell(fast, x))
     np.testing.assert_allclose(b, a, rtol=2e-2, atol=2e-2)
     assert np.abs(b - a).max() > 0  # really took the bf16 path
+
+
+def test_rectangular_matrix(rng):
+    """EllAdj on non-square matrices (hypergraph incidence shape)."""
+    n, m = 96, 40
+    src = rng.integers(0, n, 500)
+    dst = rng.integers(0, m, 500)
+    vals = rng.random(500).astype(np.float32)
+    g = coo_to_csr(src, dst, vals, (n, m))
+    adj = ell_adjacency(g, r=16, k_pad=32)
+    assert not adj.symmetric
+    x = rng.standard_normal((m, 8)).astype(np.float32)
+    out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
+    ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    # transpose direction via vjp: (n,k) cotangent -> (m,k)
+    ct = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    _, vjp = jax.vjp(lambda xx: spmm_ell(adj, xx), jnp.asarray(x))
+    dx = np.asarray(vjp(ct)[0])
+    ref_t = g.to_dense().astype(np.float64).T @ np.asarray(ct, np.float64)
+    np.testing.assert_allclose(dx, ref_t, rtol=1e-5, atol=1e-5)

@@ -100,3 +100,44 @@ def test_hgnn_gx_expansion_identical(rng):
                            g_rowsum=rs)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(hoisted),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_two_hop_factors_match_dense_G(rng):
+    import jax.numpy as jnp
+
+    from gcn_tpu.graph.hypergraph import (construct_H_with_KNN,
+                                          generate_G_factors,
+                                          generate_G_from_H)
+    from gcn_tpu.ops.adjacency import device_adjacency
+    from gcn_tpu.ops.spmm import TwoHopAdj, spmm
+
+    feats = rng.standard_normal((60, 10)).astype(np.float32)
+    h = construct_H_with_KNN(feats, k_neig=6)
+    g_dense = generate_G_from_H(h)
+    a1, a2 = generate_G_factors(h)
+    two_hop = TwoHopAdj(device_adjacency(a1, "dense"),
+                        device_adjacency(a2, "dense"))
+    x = jnp.asarray(rng.standard_normal((60, 8)).astype(np.float32))
+    out_dense = np.asarray(spmm(device_adjacency(g_dense, "dense"), x))
+    out_factored = np.asarray(spmm(two_hop, x))
+    np.testing.assert_allclose(out_factored, out_dense, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_hgnn_trains_with_factored_G(rng):
+    from gcn_tpu.graph.hypergraph import (construct_H_with_KNN,
+                                          generate_G_factors)
+    from gcn_tpu.models.hgnn import HGNN
+
+    n, f, c = 120, 12, 4
+    labels = rng.integers(0, c, n)
+    centroids = rng.standard_normal((c, f)).astype(np.float32)
+    feats = (centroids[labels]
+             + 0.3 * rng.standard_normal((n, f)).astype(np.float32))
+    h = construct_H_with_KNN(feats, k_neig=6)
+    factors = generate_G_factors(h)
+    idx = rng.permutation(n)
+    model = HGNN(in_ch=f, n_class=c, n_hid=16, dropout=0.0)
+    model.fit(feats, factors, labels, idx[:80], idx_val=idx[80:],
+              num_epochs=60)
+    assert model.test(idx[80:], verbose=False) > 0.8
