@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="force the synthetic stand-in")
     ap.add_argument("--synthetic-n", type=int, default=800)
+    ap.add_argument("--factored", action="store_true",
+                    help="apply G as two sparse factors (TwoHopAdj) instead "
+                         "of materializing the dense chain — the scalable "
+                         "path for large hypergraphs")
     args = ap.parse_args()
 
     from gcn_tpu.graph.hypergraph import construct_H_with_KNN, generate_G_from_H
@@ -80,7 +84,12 @@ def main():
                                        is_prob=cfg["is_probH"],
                                        m_prob=cfg["m_prob"])
             h = tmp if h is None else np.hstack([h, tmp])
-    g = generate_G_from_H(h)
+    if args.factored:
+        from gcn_tpu.graph.hypergraph import generate_G_factors
+
+        g = generate_G_factors(h)
+    else:
+        g = generate_G_from_H(h)
     n_class = int(labels.max()) + 1
     print(f"[{name}] n={fts.shape[0]} f={fts.shape[1]} classes={n_class} "
           f"hyperedges={h.shape[1]} (prepared in {time.time()-t0:.1f}s)")
