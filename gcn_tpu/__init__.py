@@ -21,4 +21,22 @@ Layout:
 
 from gcn_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import gcn_tpu` jax-free)
+    if name == "GCN":
+        from gcn_tpu.models import GCN
+        return GCN
+    if name == "HGNN":
+        from gcn_tpu.models import HGNN
+        return HGNN
+    if name == "get_dataset":
+        from gcn_tpu.data import get_dataset
+        return get_dataset
+    if name == "spmm":
+        from gcn_tpu.ops import spmm
+        return spmm
+    raise AttributeError(f"module 'gcn_tpu' has no attribute {name!r}")
+
+
+__all__ = ["__version__", "GCN", "HGNN", "get_dataset", "spmm"]
