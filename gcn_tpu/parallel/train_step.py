@@ -143,6 +143,10 @@ def make_sharded_gcn_train_step(
     extra = extra_dev if extra_dev is not None else coo_triple
     extra_spec = _shard_specs_like(extra, axis)
     plan_spec = _shard_specs_like(plan_dev, axis)
+    # the adjacency structures enter the jitted programs as ARGUMENTS
+    # (via shard_fn / the adj parameter), never as closure constants —
+    # constants bloat executables and hit compile-service size limits at
+    # big-graph scale
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), extra_spec, plan_spec, P(axis, None), P(axis),
@@ -160,9 +164,9 @@ def make_sharded_gcn_train_step(
 
     @jax.jit
     def train_step(params, opt_state, rng, adj, x, labels, mask):
-        del adj  # adjacency baked into `extra` (static structure)
+        extra_a, plan_a = adj
         loss, grads = jax.value_and_grad(
-            lambda p: loss_shmap(p, extra, plan_dev, x, labels, mask,
+            lambda p: loss_shmap(p, extra_a, plan_a, x, labels, mask,
                                  rng))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -177,14 +181,20 @@ def make_sharded_gcn_train_step(
 
     @jax.jit
     def eval_fn(params, adj, x):
-        del adj
-        return eval_shmap(params, extra, plan_dev, x)
+        extra_a, plan_a = adj
+        return eval_shmap(params, extra_a, plan_a, x)
 
     def shard_fn(adj, x, labels, mask):
+        del adj  # the right structure is built here from sg/plan
         row_sharding = NamedSharding(mesh, P(axis))
         row2 = NamedSharding(mesh, P(axis, None))
-        adj = jax.device_put(adj, NamedSharding(mesh, P(axis, None)))
-        return (adj,
+        extra_sh = jax.tree_util.tree_map(
+            lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
+            extra, extra_spec)
+        plan_sh = jax.tree_util.tree_map(
+            lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
+            plan_dev, plan_spec)
+        return ((extra_sh, plan_sh),
                 jax.device_put(jnp.asarray(x), row2),
                 jax.device_put(jnp.asarray(labels), row_sharding),
                 jax.device_put(jnp.asarray(mask), row_sharding))

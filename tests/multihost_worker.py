@@ -50,9 +50,16 @@ def main():
     sg = shard_graph_by_rows(g, n_shards)
     mesh = create_mesh(n_shards)
     tx = adam_l2(0.01, 5e-4)
-    step, eval_fn, _ = make_sharded_gcn_train_step(mesh, sg, tx, dropout=0.0,
-                                                   exchange="halo")
+    step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.0, exchange="halo")
     params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+
+    # adjacency + plan structures come pre-sharded from shard_fn (as jit
+    # arguments); per-row data is fed host-locally — each process
+    # contributes only its own rows
+    mask = np.ones(g.shape[0], np.float32)
+    adj_dev, _, _, _ = shard_fn(sg, pad_rows(x, sg), pad_rows(labels, sg),
+                                pad_rows(mask, sg))
 
     def place(host_global, spec):
         """Feed only this process's rows (contiguous: process-major mesh)."""
@@ -61,7 +68,6 @@ def main():
         local = host_global[pid * rows_per_proc:(pid + 1) * rows_per_proc]
         return jax.make_array_from_process_local_data(sharding, local)
 
-    mask = np.ones(g.shape[0], np.float32)
     xs = place(pad_rows(x, sg), P("data", None))
     ys = place(pad_rows(labels, sg), P("data"))
     ms = place(pad_rows(mask, sg), P("data"))
@@ -71,8 +77,8 @@ def main():
     rng = jax.random.PRNGKey(1)
     for _ in range(5):
         rng, r = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, r, None, xs, ys,
-                                       ms)
+        params, opt_state, loss = step(params, opt_state, r, adj_dev, xs,
+                                       ys, ms)
         losses.append(float(loss))
     if pid == 0:
         print("LOSSES " + json.dumps(losses), flush=True)
