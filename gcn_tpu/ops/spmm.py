@@ -99,6 +99,12 @@ class TwoHopAdj:
 
 def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     """Differentiable sparse @ dense: returns ``A @ X`` of shape (m, k)."""
+    shape = getattr(adj, "shape", None)
+    if (shape is not None and hasattr(x, "shape") and x.ndim == 2
+            and x.shape[0] != shape[1]):
+        raise ValueError(
+            f"spmm shape mismatch: adjacency is {shape}, features have "
+            f"{x.shape[0]} rows (expected {shape[1]})")
     if isinstance(adj, TwoHopAdj):
         return spmm(adj.a1, spmm(adj.a2, x))
     if isinstance(adj, DenseAdj):

@@ -194,3 +194,33 @@ def test_dump_adj_csv_hook(data, tmp_path):
           train_iters=2, name="toy", dump_adj_csv=str(tmp_path))
     g2 = csv_read(str(tmp_path / "toy.csv"))
     assert g2.nnz > 0 and g2.shape[0] == data.num_nodes
+
+
+def test_fixed_seed_reproducibility(data):
+    """Same seed -> bit-identical training outputs (the reference pins
+    seed 15, profiling_gcn.py:76-80; here it actually guarantees
+    reproducibility)."""
+    from gcn_tpu.models import GCN
+
+    outs = []
+    for _ in range(2):
+        m = GCN(data.num_features, 8, data.num_classes, variant="v4",
+                seed=15)
+        m.fit(data.features, data.adj, data.labels, data.idx_train,
+              train_iters=5)
+        outs.append(np.asarray(m.output))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_spmm_shape_mismatch_raises(rng):
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from gcn_tpu.graph.csr import coo_to_csr
+    from gcn_tpu.ops import device_adjacency, spmm
+
+    g = coo_to_csr(rng.integers(0, 20, 50), rng.integers(0, 20, 50),
+                   np.ones(50, np.float32), (20, 20))
+    adj = device_adjacency(g, "dense")
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        spmm(adj, jnp.zeros((21, 4)))
