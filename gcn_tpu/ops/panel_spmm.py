@@ -1,5 +1,10 @@
 """Pallas row-window SpMM over the PanelAdj format.
 
+NOTE: superseded by the packed-ELL path (gcn_tpu.ops.ell_spmm) — measured
+strictly slower (one-hot MXU scatter + per-backward SDDMM vs free
+fixed-stride adds) — and retained as an alternate strategy and for the
+one-hot-scatter reference implementation. New code should use EllAdj.
+
 TPU counterpart of the reference's flexspmm kernel family
 (flexspmm.cu:17-498). The CUDA design — persistent warps claiming 128-nnz
 segments off per-SM atomic work queues, scalar FMA loops, atomicAdd for rows
