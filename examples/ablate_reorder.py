@@ -25,18 +25,24 @@ import time
 
 
 def measure(g, method, deg_sort, shards, k):
+    """deg_sort: "none" | "global" | "band" (in-band: keeps shard bands)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from gcn_tpu.ops.ell_spmm import spmm_ell
-    from gcn_tpu.parallel import build_halo_plan, shard_graph_by_rows
+    from gcn_tpu.parallel import (band_degree_sort_order, build_halo_plan,
+                                  shard_graph_by_rows)
+    from gcn_tpu.parallel.partition import rows_per_shard_for
     from gcn_tpu.reorder import reorder_graph
     from gcn_tpu.tile import degree_sort_order, ell_adjacency
 
     g2, _ = reorder_graph(g, method)
-    if deg_sort:
+    if deg_sort == "global":
         g2 = g2.permute(degree_sort_order(g2))
+    elif deg_sort == "band":
+        g2 = g2.permute(band_degree_sort_order(
+            g2, rows_per_shard_for(g2.shape[0], shards)))
     adj = ell_adjacency(g2, symmetric=True)
     sg = shard_graph_by_rows(g2, shards)
     plan = build_halo_plan(sg)
@@ -52,7 +58,8 @@ def measure(g, method, deg_sort, shards, k):
         float(run(adj, x * (1 + r * 1e-3)))
         best = min(best, (time.perf_counter() - t0) / 10)
     return {
-        "method": method + ("+degsort" if deg_sort else ""),
+        "method": method + {"none": "", "global": "+degsort",
+                            "band": "+band-degsort"}[deg_sort],
         "pad_fraction": round(adj.pad_fraction, 4),
         "spmm_ms": round(best * 1e3, 3),
         "boundary_fraction": round(sg.boundary_fraction(), 4),
@@ -80,8 +87,8 @@ def main():
           f"backend={jax.default_backend()}")
     rows = []
     for method in args.methods:
-        for deg_sort in (False, True):
-            if deg_sort and method in ("identity", "degree"):
+        for deg_sort in ("none", "global", "band"):
+            if deg_sort != "none" and method in ("identity", "degree"):
                 continue  # composed permutation identical to plain degree
             r = measure(g, method, deg_sort, args.shards, args.width)
             rows.append(r)
