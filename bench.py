@@ -81,10 +81,15 @@ def main():
                        inner=5)
 
     # full training step (fwd + bwd + adam): generic (4 SpMM/iter) and
-    # with the layer-1 hoisting the models apply by default (2 SpMM/iter)
-    t_step = bench_train_step(adj_ell, data, overhead)
-    ax = jnp.asarray(spmm_ell(adj_ell, jnp.asarray(data.features)))
-    t_step_hoisted = bench_train_step(adj_ell, data, overhead, feats_ax=ax)
+    # with the layer-1 hoisting the models apply by default (2 SpMM/iter).
+    # Detail-only: never allowed to sink the primary metric.
+    try:
+        t_step = bench_train_step(adj_ell, data, overhead)
+        ax = jnp.asarray(spmm_ell(adj_ell, jnp.asarray(data.features)))
+        t_step_hoisted = bench_train_step(adj_ell, data, overhead,
+                                          feats_ax=ax)
+    except Exception:
+        t_step = t_step_hoisted = float("nan")
 
     edges_per_s = e / t_ell
     print(json.dumps({
