@@ -89,7 +89,7 @@ def main():
         t_step_hoisted = bench_train_step(adj_ell, data, overhead,
                                           feats_ax=ax)
     except Exception:
-        t_step = t_step_hoisted = float("nan")
+        t_step = t_step_hoisted = -1.0  # sentinel: detail bench failed
 
     edges_per_s = e / t_ell
     print(json.dumps({
