@@ -24,16 +24,18 @@ from gcn_tpu.graph.csr import CSRGraph
 
 
 def euclidean_distances(x: np.ndarray) -> np.ndarray:
-    """Pairwise squared-Euclidean distance matrix (hypergraph_utils.py:10-25).
+    """Pairwise Euclidean distance matrix (hypergraph_utils.py:10-25).
 
-    Note: the reference returns *squared* distances (it computes
-    x x^T diag trick without sqrt) — preserved here.
+    True (square-rooted) distances, symmetrized with max(d, d.T) exactly as
+    the reference's Eu_dis does — the KNN incidence weights below depend on
+    the distance scale, not just the neighbor ranking.
     """
     x = np.asarray(x, dtype=np.float64)
     sq = np.sum(x * x, axis=1)
     d = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
     np.maximum(d, 0.0, out=d)
-    return d
+    np.sqrt(d, out=d)
+    return np.maximum(d, d.T)
 
 
 def construct_H_with_KNN(
@@ -45,7 +47,8 @@ def construct_H_with_KNN(
 ) -> np.ndarray:
     """KNN hyperedge incidence: one hyperedge per vertex containing its
     k nearest neighbors (self included), weighted
-    exp(-d^2/(m_prob*d_avg)^2) when is_prob (hypergraph_utils.py:128-181)."""
+    exp(-d^2/(m_prob*d_avg)^2) with true Euclidean d and d_avg the mean
+    distance from the center (hypergraph_utils.py:128-181)."""
     n = x.shape[0]
     dis = euclidean_distances(x)
     h = np.zeros((n, n), dtype=np.float32)
@@ -74,11 +77,20 @@ def hyperedge_concat(*h_list) -> np.ndarray:
     return np.hstack(mats)
 
 
-def generate_G_from_H(h: np.ndarray,
+def generate_G_from_H(h,
                       w: Optional[np.ndarray] = None,
                       *,
-                      variance_weight: bool = False) -> CSRGraph:
-    """G = Dv^{-1/2} H W De^{-1} H^T Dv^{-1/2} (hypergraph_utils.py:97-125)."""
+                      variance_weight: bool = False):
+    """G = Dv^{-1/2} H W De^{-1} H^T Dv^{-1/2} (hypergraph_utils.py:97-125).
+
+    Accepts a single incidence matrix or a list of them (the multi-scale
+    form produced by ``split_diff_scale=True``); lists map element-wise,
+    mirroring generate_G_from_H's list recursion
+    (hypergraph_utils.py:81-93).
+    """
+    if isinstance(h, (list, tuple)):
+        return [generate_G_from_H(sub, w, variance_weight=variance_weight)
+                for sub in h]
     h = np.asarray(h, dtype=np.float64)
     n, n_e = h.shape
     if w is None:
@@ -127,12 +139,28 @@ def construct_H_with_KNN_multi(
     *,
     is_prob: bool = True,
     m_prob: float = 1.0,
-) -> np.ndarray:
+    split_diff_scale: bool = False,
+):
     """Multi-modality / multi-scale KNN hypergraph: one group of hyperedges
-    per (feature modality, K) pair, concatenated (visual_data.py:5-59)."""
+    per (feature modality, K) pair (visual_data.py:5-59).
+
+    With ``split_diff_scale=False`` (default) all groups concatenate into
+    one incidence matrix. With True, returns a list with one incidence
+    matrix per K scale (modalities still concatenate within a scale),
+    matching construct_H_with_KNN(split_diff_scale=True)
+    (hypergraph_utils.py:157-181); feed the list to generate_G_from_H to
+    get one G per scale.
+    """
     if isinstance(k_neigs, int):
         k_neigs = [k_neigs]
-    hs: List[np.ndarray] = []
+    if split_diff_scale:
+        per_scale: List[np.ndarray] = []
+        for k in k_neigs:
+            hs = [construct_H_with_KNN(x, k, is_prob=is_prob, m_prob=m_prob)
+                  for x in features]
+            per_scale.append(hyperedge_concat(*hs))
+        return per_scale
+    hs = []
     for x in features:
         for k in k_neigs:
             hs.append(construct_H_with_KNN(x, k, is_prob=is_prob,

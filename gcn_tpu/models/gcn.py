@@ -122,7 +122,10 @@ class GCN:
     def _orders(self):
         l1 = "xw" if self.hoist_ax else "a_xw"
         if self.variant == "v1":
-            return ("a_xw", "a_xw")
+            # v1 keeps A(XW) everywhere but must still honor an explicit
+            # hoist_ax=True — otherwise layer 1 would aggregate the
+            # already-aggregated hoisted features (A(A X W)).
+            return (l1, "a_xw")
         if self.variant == "v2":
             return ("xw", "a_xw")  # layer-1 SpMM hoisted into preprocessing
         if self.variant == "v3":
@@ -130,6 +133,52 @@ class GCN:
         # v4/v5/v6: dimension-driven choice; layer 1 is A(XW) as in the
         # reference (gcn4.py:135: "gc1 always A(XW)"), hoisted by default.
         return (l1, auto_order(self.nhid, self.nclass))
+
+    def _build_adjacency(self, g: CSRGraph, *, normalized: bool = True):
+        """The variant's graph pipeline: reorder -> degree-sort (ELL) ->
+        device adjacency. Returns (device_adj, perm) with perm[new]=old
+        (or None). Used by fit() and by predict() on fresh graphs so both
+        run the same perf class (gcn6.py:293-299's 4-step preprocessing)."""
+        perm = None
+        if self.reorder:
+            from gcn_tpu.reorder import reorder_graph
+
+            g, perm = reorder_graph(g, method=self.reorder)
+        if self.adj_kind == "ell":
+            # The ELL scatter wants degree-homogeneous row windows; the TPU
+            # gather is column-order-neutral, so this costs the reorder
+            # nothing (gcn_tpu/tile/ell.py). Stable sort keeps community
+            # order among equal degrees.
+            from gcn_tpu.tile import degree_sort_order
+
+            ds = degree_sort_order(g)
+            g = g.permute(ds)
+            perm = ds if perm is None else perm[ds]
+
+        kind = self.adj_kind
+        kwargs = {}
+        if kind == "auto" and max(g.shape) > 8192:
+            kind = "coo"
+        if kind in ("panel", "ell"):
+            try:
+                import gcn_tpu.tile  # noqa: F401
+            except ImportError:
+                import warnings
+
+                warnings.warn("tiled adjacency unavailable; falling back to coo")
+                kind = "coo"
+        if kind in ("coo", "panel", "ell"):
+            # The GCN normalization of a symmetric adjacency is symmetric, so
+            # the backward pass may reuse the forward arrays (gcn6.py:49-62).
+            kwargs["symmetric"] = True if normalized else None
+        if kind == "ell":
+            # one adjacency serves both layers without column chunking:
+            # k_pad >= the widest SpMM operand (min side of each layer)
+            widest = max(min(self.nhid, self.nfeat), min(self.nhid,
+                                                         self.nclass))
+            kwargs["k_pad"] = next(k for k in (32, 64, 128)
+                                   if k >= min(widest, 128))
+        return device_adjacency(g, kind, **kwargs), perm
 
     def _remap_idx(self, idx):
         idx = np.asarray(idx)
@@ -169,21 +218,7 @@ class GCN:
 
         # v6 preprocessing pipeline: reorder -> permute features/labels/idx.
         self.perm = self._inv_perm = None
-        perm = None
-        if self.reorder:
-            from gcn_tpu.reorder import reorder_graph
-
-            g, perm = reorder_graph(g, method=self.reorder)
-        if self.adj_kind == "ell":
-            # The ELL scatter wants degree-homogeneous row windows; the TPU
-            # gather is column-order-neutral, so this costs the reorder
-            # nothing (gcn_tpu/tile/ell.py). Stable sort keeps community
-            # order among equal degrees.
-            from gcn_tpu.tile import degree_sort_order
-
-            ds = degree_sort_order(g)
-            g = g.permute(ds)
-            perm = ds if perm is None else perm[ds]
+        adj_dev, perm = self._build_adjacency(g, normalized=normalize)
         if perm is not None:
             self.perm = perm
             inv = np.empty_like(perm)
@@ -191,31 +226,7 @@ class GCN:
             self._inv_perm = inv
             x = x[perm]
             labels_np = labels_np[perm]
-
-        kind = self.adj_kind
-        kwargs = {}
-        if kind == "auto" and max(g.shape) > 8192:
-            kind = "coo"
-        if kind in ("panel", "ell"):
-            try:
-                import gcn_tpu.tile  # noqa: F401
-            except ImportError:
-                import warnings
-
-                warnings.warn("tiled adjacency unavailable; falling back to coo")
-                kind = "coo"
-        if kind in ("coo", "panel", "ell"):
-            # The GCN normalization of a symmetric adjacency is symmetric, so
-            # the backward pass may reuse the forward arrays (gcn6.py:49-62).
-            kwargs["symmetric"] = True if normalize else None
-        if kind == "ell":
-            # one adjacency serves both layers without column chunking:
-            # k_pad >= the widest SpMM operand (min side of each layer)
-            widest = max(min(self.nhid, self.nfeat), min(self.nhid,
-                                                         self.nclass))
-            kwargs["k_pad"] = next(k for k in (32, 64, 128)
-                                   if k >= min(widest, 128))
-        self.adj_norm = device_adjacency(g, kind, **kwargs)
+        self.adj_norm = adj_dev
         self.features = jnp.asarray(x, dtype=self.dtype)
         self.labels = jnp.asarray(labels_np)
         idx_train = self._remap_idx(idx_train)
@@ -270,44 +281,77 @@ class GCN:
     # ----------------------------------------------------------- evaluation
 
     def predict(self, features=None, adj=None):
-        """Eval-mode log-probs in original vertex order (cf. gcn6.py:548-557)."""
+        """Eval-mode log-probs in original vertex order (cf. gcn6.py:548-557).
+
+        A fresh (features, adj) pair runs the SAME pipeline as fit —
+        reorder, degree sort, ELL tiling, layer-1 hoist — so inference on a
+        new graph is in the same perf class as training, and outputs are
+        un-permuted back to the caller's vertex order."""
         if features is None and adj is None:
             return self.output
         g = gcn_normalize(_as_csr(adj))
-        x = jnp.asarray(_as_dense_features(features), dtype=self.dtype)
-        rep = device_adjacency(g, "auto")
-        # fresh graph: no hoisted A@X available -> layer 1 aggregates live
+        x = _as_dense_features(features)
+        rep, perm = self._build_adjacency(g, normalized=True)
+        if perm is not None:
+            x = x[perm]
+        x = jnp.asarray(x, dtype=self.dtype)
         orders = self._orders()
         if orders[0] == "xw":
-            orders = ("a_xw", orders[1])
+            from gcn_tpu.ops.spmm import hoist_spmm
+
+            x = hoist_spmm(rep, x)
         lp = gcn_forward(self.params, x, rep, rep, orders=orders,
                          dropout_rate=self.dropout,
                          with_relu=self.with_relu, train=False)
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.shape[0])
+            lp = jnp.asarray(np.asarray(lp)[inv])
         return lp
 
     def profile_ops(self, n_iters: int = 20, warmup: int = 5,
                     verbose: bool = True) -> Timers:
         """Per-op device-fenced timing table — the v5/v6 instrumentation
         (gcn5.py:38-44, gcn6.py:404-410): xw (X@W), af (SpMM aggregation),
-        bi (bias) per layer, plus whole fwd and bwd. Runs each op as its
-        own fenced dispatch, so numbers are per-op upper bounds (no
-        cross-op fusion); see utils.profiling.device_trace for fused
-        op-level views."""
+        bi (bias) per layer, plus whole fwd and bwd, using THIS variant's
+        actual contraction orders and hoisted features (a hoisted layer 1
+        has no per-iteration af row — the SpMM happened in preprocessing).
+        Runs each op as its own fenced dispatch, so numbers are per-op
+        upper bounds (no cross-op fusion); see
+        utils.profiling.device_trace for fused op-level views."""
         assert self.params is not None and self.adj_norm is not None, \
             "call fit() first"
         t = Timers()
-        x = self.features
         adj = self.adj_norm
         p = self.params
-        xw = jax.jit(lambda w, a: jnp.dot(a, w,
+        orders = self._orders()
+        feats = self._hoisted_ax if orders[0] == "xw" else self.features
+        xw = jax.jit(lambda a, w: jnp.dot(a, w,
                                           preferred_element_type=a.dtype))
         af = jax.jit(spmm)
         bi = jax.jit(lambda h, b: h + b)
 
+        def layer(tm_prefix, h, w, b, order):
+            if order == "ax_w":            # (A h) W
+                with t(f"{tm_prefix}_af").d as tm:
+                    h = tm.fence(af(adj, h))
+                with t(f"{tm_prefix}_xw").d as tm:
+                    h = tm.fence(xw(h, w))
+            else:                          # A (h W); "xw" = hoisted, no af
+                with t(f"{tm_prefix}_xw").d as tm:
+                    h = tm.fence(xw(h, w))
+                if order == "a_xw":
+                    with t(f"{tm_prefix}_af").d as tm:
+                        h = tm.fence(af(adj, h))
+            if b is not None:
+                with t(f"{tm_prefix}_bi").d as tm:
+                    h = tm.fence(bi(h, b))
+            return h
+
         def fwd(pp):
             from gcn_tpu.models.gcn_core import gcn_forward
 
-            return gcn_forward(pp, x, adj, adj, orders=("a_xw", "a_xw"),
+            return gcn_forward(pp, feats, adj, adj, orders=orders,
                                dropout_rate=0.0, with_relu=self.with_relu,
                                train=False)
 
@@ -316,21 +360,10 @@ class GCN:
         for i in range(n_iters + warmup):
             if i == warmup:
                 t.reset()
-            with t("l1_xw").d as tm:
-                h = tm.fence(xw(p["gc1"]["w"], x))
-            with t("l1_af").d as tm:
-                h = tm.fence(af(adj, h))
-            if "b" in p["gc1"]:
-                with t("l1_bi").d as tm:
-                    h = tm.fence(bi(h, p["gc1"]["b"]))
+            h = layer("l1", feats, p["gc1"]["w"], p["gc1"].get("b"),
+                      orders[0])
             h = jax.nn.relu(h)
-            with t("l2_xw").d as tm:
-                h2 = tm.fence(xw(p["gc2"]["w"], h))
-            with t("l2_af").d as tm:
-                h2 = tm.fence(af(adj, h2))
-            if "b" in p["gc2"]:
-                with t("l2_bi").d as tm:
-                    tm.fence(bi(h2, p["gc2"]["b"]))
+            layer("l2", h, p["gc2"]["w"], p["gc2"].get("b"), orders[1])
             with t("fwd").d as tm:
                 tm.fence(fwd_j(p))
             with t("bwd").d as tm:

@@ -147,12 +147,12 @@ class HGNN:
         # hoist the training-invariant layer-1 aggregation: GX in eager
         # feature chunks (wide .mat features) + the row sums for the bias
         # term — see hgnn_forward's G(XW+b) = (GX)W + (G1)b^T expansion
-        from gcn_tpu.ops.spmm import hoist_spmm
+        from gcn_tpu.ops.spmm import _jit_spmm, hoist_spmm
 
         with self.timers("hoist_gx").d as t:
             gx = t.fence(hoist_spmm(adj, x))
-        g_rowsum = jax.jit(spmm)(adj, jnp.ones((x.shape[0], 1),
-                                               jnp.float32))[:, 0]
+        g_rowsum = _jit_spmm(adj, jnp.ones((x.shape[0], 1),
+                                           jnp.float32))[:, 0]
 
         # graph-sized arrays enter every jitted program as ARGUMENTS, not
         # closure constants (constants blow up the executable at scale)

@@ -126,6 +126,12 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     raise TypeError(f"unsupported adjacency representation: {type(adj)}")
 
 
+# One shared wrapper so every equal-shape chunk reuses one compiled
+# executable — constructing jax.jit(spmm) per chunk would retrace and
+# recompile the same program ~nfeat/k_pad times per hoist.
+_jit_spmm = jax.jit(spmm)
+
+
 def hoist_spmm(adj, x: jnp.ndarray, chunk: int = None) -> jnp.ndarray:
     """Aggregate ``A @ x`` once, in EAGER column chunks.
 
@@ -136,6 +142,6 @@ def hoist_spmm(adj, x: jnp.ndarray, chunk: int = None) -> jnp.ndarray:
     """
     if chunk is None:
         chunk = getattr(adj, "k_pad", 32)
-    parts = [jax.jit(spmm)(adj, x[:, c:c + chunk])
+    parts = [_jit_spmm(adj, x[:, c:c + chunk])
              for c in range(0, x.shape[1], chunk)]
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]

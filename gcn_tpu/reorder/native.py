@@ -27,13 +27,15 @@ def _try_load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_SO):
-        try:  # build once, quietly; sources ship with the package
-            subprocess.run(
-                ["make", "-s", "-C", _CSRC],
-                check=True, capture_output=True, timeout=600,
-            )
-        except Exception:
+    # Always invoke make (a timestamp no-op when the .so is fresh) so edits
+    # to the C++ sources can never be shadowed by a stale binary.
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", _CSRC],
+            check=True, capture_output=True, timeout=600,
+        )
+    except Exception:
+        if not os.path.exists(_SO):
             _load_failed = True
             return None
     try:

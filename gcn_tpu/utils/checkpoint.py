@@ -18,6 +18,12 @@ import numpy as np
 _SEP = "//"
 
 
+def _npz_path(path: str) -> str:
+    # np.savez appends ".npz" to suffix-less paths; normalize on BOTH the
+    # save and load sides so save("model.ckpt") / load("model.ckpt") agree.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def _flatten(params) -> dict:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
@@ -29,13 +35,14 @@ def _flatten(params) -> dict:
 
 def save_params(path: str, params: Any) -> None:
     """Save a pytree of arrays to ``path`` (npz, keys = tree paths)."""
+    path = _npz_path(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **_flatten(params))
 
 
 def load_params(path: str, like: Any):
     """Load into the structure of ``like`` (shape/dtype validated)."""
-    with np.load(path) as f:
+    with np.load(_npz_path(path)) as f:
         stored = dict(f)
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []

@@ -22,11 +22,47 @@ def feats():
 
 
 def test_euclidean_distances(feats):
+    """True (square-rooted) Euclidean distances, as the reference's Eu_dis
+    (pyhgnn/utils/hypergraph_utils.py:23 takes np.sqrt)."""
     x, _ = feats
     d = euclidean_distances(x[:20])
-    ref = ((x[:20, None, :] - x[None, :20, :]) ** 2).sum(-1)
+    ref = np.sqrt(((x[:20, None, :] - x[None, :20, :]) ** 2).sum(-1))
     assert np.allclose(d, ref, atol=1e-3)
     assert np.allclose(np.diag(d), 0.0, atol=1e-3)
+    assert np.allclose(d, d.T)
+
+
+def test_knn_weights_match_reference_formula(feats):
+    """H[v, c] = exp(-d(v,c)^2 / (m * avg_d(c))^2) with true Euclidean d
+    (hypergraph_utils.py:151), pinned by an independent naive loop."""
+    x, _ = feats
+    x = x[:30]
+    h = construct_H_with_KNN(x, k_neig=5, m_prob=1.0)
+    n = x.shape[0]
+    for c in range(n):
+        d = np.sqrt(((x - x[c]) ** 2).sum(-1))
+        d[c] = 0.0
+        avg = d.mean()
+        nearest = np.argsort(d)[:5]
+        if c not in nearest:
+            nearest[-1] = c
+        expect = np.zeros(n)
+        expect[nearest] = np.exp(-(d[nearest] ** 2) / avg ** 2)
+        np.testing.assert_allclose(h[:, c], expect, rtol=1e-4, atol=1e-6)
+
+
+def test_multi_scale_split(feats):
+    """split_diff_scale=True returns one H per K and generate_G_from_H maps
+    over the list (hypergraph_utils.py:80-93, 157-181)."""
+    x, _ = feats
+    hs = construct_H_with_KNN_multi([x], [5, 10], split_diff_scale=True)
+    assert isinstance(hs, list) and len(hs) == 2
+    assert hs[0].shape == (200, 200) and hs[1].shape == (200, 200)
+    assert np.allclose(hs[0], construct_H_with_KNN(x, 5))
+    gs = generate_G_from_H(hs)
+    assert isinstance(gs, list) and len(gs) == 2
+    g0 = generate_G_from_H(hs[0])
+    assert np.allclose(gs[0].to_dense(), g0.to_dense())
 
 
 def test_knn_incidence_shape_and_degree(feats):

@@ -157,14 +157,15 @@ def test_gcn_save_load_roundtrip(tmp_path, rng):
                                rtol=1e-6, atol=1e-6)
 
 
-def test_hoist_ax_numerically_identical(data):
+@pytest.mark.parametrize("variant", ["v1", "v4"])
+def test_hoist_ax_numerically_identical(data, variant):
     """Hoisting layer-1 A@X must not change training (gcn2 semantics
-    composed into v4)."""
+    composed into every variant — v1 once silently double-aggregated)."""
     from gcn_tpu.models import GCN
 
     outs = {}
     for hoist in (True, False):
-        m = GCN(data.num_features, 16, data.num_classes, variant="v4",
+        m = GCN(data.num_features, 16, data.num_classes, variant=variant,
                 seed=0, dropout=0.0, hoist_ax=hoist)
         m.fit(data.features, data.adj, data.labels, data.idx_train,
               train_iters=5)
@@ -173,16 +174,41 @@ def test_hoist_ax_numerically_identical(data):
                                atol=5e-5)
 
 
+def test_predict_fresh_graph_runs_fit_pipeline(data):
+    """predict(features, adj) on a v6 model re-runs the reorder+ELL
+    pipeline and returns original-order outputs identical to fit's."""
+    from gcn_tpu.models import GCN
+
+    m = GCN(data.num_features, 16, data.num_classes, variant="v6", seed=0)
+    m.fit(data.features, data.adj, data.labels, data.idx_train,
+          train_iters=20)
+    assert m.perm is not None  # the pipeline actually permutes
+    lp = m.predict(data.features, data.adj)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(m.output),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_profile_ops_table(data):
     from gcn_tpu.models import GCN
 
+    # v4 hoists layer-1 aggregation into preprocessing, so an honest per-op
+    # table has NO l1_af row (the SpMM is not in the training loop).
     m = GCN(data.num_features, 8, data.num_classes, variant="v4", seed=0)
     m.fit(data.features, data.adj, data.labels, data.idx_train,
           train_iters=2)
     t = m.profile_ops(n_iters=2, warmup=1, verbose=False)
     names = set(t.names() if callable(t.names) else t.names)
-    assert {"l1_xw", "l1_af", "l1_bi", "l2_xw", "l2_af", "l2_bi", "fwd",
+    assert {"l1_xw", "l1_bi", "l2_xw", "l2_af", "l2_bi", "fwd",
             "bwd"} <= names
+    assert "l1_af" not in names
+
+    # v1 aggregates live in both layers -> both af rows present.
+    m1 = GCN(data.num_features, 8, data.num_classes, variant="v1", seed=0)
+    m1.fit(data.features, data.adj, data.labels, data.idx_train,
+           train_iters=2)
+    t1 = m1.profile_ops(n_iters=2, warmup=1, verbose=False)
+    names1 = set(t1.names() if callable(t1.names) else t1.names)
+    assert {"l1_xw", "l1_af", "l2_xw", "l2_af", "fwd", "bwd"} <= names1
 
 
 def test_dump_adj_csv_hook(data, tmp_path):

@@ -96,6 +96,42 @@ def test_init_distribution_matches_reference():
         assert b.min() >= -s and b.max() <= s
 
 
+def test_hypergraph_H_and_G_match_torch_math(rng):
+    """H and G construction pinned to an independent torch implementation
+    of the reference formulas: d = true Euclidean (hypergraph_utils.py:23),
+    H[v,c] = exp(-d^2/(m*avg_d)^2) (:151),
+    G = Dv^-1/2 H W De^-1 H^T Dv^-1/2 (:97-125)."""
+    from gcn_tpu.graph.hypergraph import construct_H_with_KNN, generate_G_from_H
+
+    n, f, k = 40, 8, 6
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+
+    x_t = torch.tensor(feats, dtype=torch.float64)
+    d_t = torch.cdist(x_t, x_t)          # true Euclidean distances
+    h_t = torch.zeros((n, n), dtype=torch.float64)
+    for c in range(n):
+        dv = d_t[c].clone()
+        dv[c] = 0.0
+        avg = dv.mean()
+        nearest = torch.argsort(dv)[:k]
+        if not (nearest == c).any():
+            nearest[-1] = c
+        h_t[nearest, c] = torch.exp(-dv[nearest] ** 2 / avg ** 2)
+
+    h = construct_H_with_KNN(feats, k_neig=k)
+    # Neighbor *sets* must match; ties in argsort may order equals
+    # differently, so compare the weight matrices, not the loops.
+    np.testing.assert_allclose(h, h_t.numpy(), rtol=1e-4, atol=1e-6)
+
+    dv_deg = h_t.sum(1)
+    de_deg = h_t.sum(0)
+    g_t = (torch.diag(dv_deg ** -0.5) @ h_t @ torch.diag(1.0 / de_deg)
+           @ h_t.T @ torch.diag(dv_deg ** -0.5))
+    g = generate_G_from_H(h)
+    np.testing.assert_allclose(g.to_dense(), g_t.numpy(), rtol=1e-4,
+                               atol=1e-6)
+
+
 def test_hgnn_forward_matches_torch_math(rng):
     """HGNN_conv: x -> G @ (x W + b) (HGNN.py:27-38) written independently
     in torch, with transplanted weights."""

@@ -67,6 +67,17 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_suffixless_path_roundtrip(tmp_path):
+    """save('model.ckpt') / load('model.ckpt') must agree even though
+    np.savez appends '.npz' (both sides normalize the suffix)."""
+    params = {"w": jnp.ones((3, 2))}
+    path = str(tmp_path / "model.ckpt")
+    save_params(path, params)
+    restored = load_params(path, {"w": jnp.zeros((3, 2))})
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.ones((3, 2)))
+
+
 def test_checkpoint_shape_mismatch(tmp_path):
     save_params(str(tmp_path / "c.npz"), {"w": jnp.zeros((3, 3))})
     with pytest.raises(ValueError, match="shape mismatch"):
