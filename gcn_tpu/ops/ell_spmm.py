@@ -19,10 +19,13 @@ This is the TPU counterpart of the reference's flexspmm kernel family
 (flexspmm.cu:17-498), with its k-specialized variants (flexspmm.cu:510-541)
 replaced by the k_pad packing parameter. The backward pass runs the same
 kernel on the transpose arrays (symmetric A aliases them — the
-gcn6.py:49-62 fast path, made correct for general A). Adjacency values are
-treated as constants (the normalized adjacency is never trained in the
-reference; profiling_gcn.py drives fixed D^-1/2(A+I)D^-1/2), so their
-cotangent is symbolic zero and no SDDMM runs in the hot loop.
+gcn6.py:49-62 fast path, made correct for general A). The edge-weight
+cotangent is a real SDDMM over the ELL layout (dvals[slot] =
+<g[out_row(slot)], x[cols[slot]]>, masked at padding slots) so adjacency
+values are trainable, matching the coo path (ops/spmm.py); when nothing
+differentiates w.r.t. vals — the normal GCN loop, where the normalized
+adjacency is a constant — XLA dead-code-eliminates the SDDMM, so the hot
+loop pays nothing for it.
 """
 
 from __future__ import annotations
@@ -160,34 +163,62 @@ def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None,
     return out[:, :k] if k < k_pad else out
 
 
+def _ell_sddmm(cols, vals, win, g, x, r, n_rows):
+    """dvals[b, j, i] = <g[win[b]*r + i], x[cols[b, j, i]]>, 0 at padding.
+
+    The scatter side of the forward layout read as a gather: each slot's
+    output row is static (win[b]*r + lane), so the SDDMM is two row
+    gathers and a lane dot — no scatter at all. Padding slots (vals == 0;
+    the tiler never stores explicit zeros) are masked so their cotangent
+    matches the coo SDDMM, which only produces gradients at stored nnz.
+    Feature columns are processed in chunks to bound the gathered
+    intermediates.
+    """
+    num_blocks, p, rr = cols.shape
+    k = x.shape[1]
+    nw = max(1, -(-n_rows // r))
+    gpad = jnp.pad(g, ((0, nw * r - n_rows), (0, 0)))
+    dv = jnp.zeros((num_blocks, p, rr), dtype=jnp.float32)
+    for c in range(0, k, 128):
+        gblk = jnp.take(gpad[:, c:c + 128].reshape(nw, rr, -1), win,
+                        axis=0)                       # (B, r, kc)
+        for j in range(p):
+            xg = jnp.take(x[:, c:c + 128], cols[:, j, :].reshape(-1),
+                          axis=0).reshape(num_blocks, rr, -1)
+            dv = dv.at[:, j, :].add(
+                jnp.sum(gblk.astype(jnp.float32) * xg.astype(jnp.float32),
+                        axis=-1))
+    return jnp.where(vals != 0, dv, 0.0).astype(vals.dtype)
+
+
 @jax.custom_vjp
 def spmm_ell(adj: EllAdj, x: jnp.ndarray) -> jnp.ndarray:
-    """out = A @ x over the EllAdj format; differentiable in x.
-
-    Adjacency values are constants (symbolic-zero cotangent) — see module
-    docstring.
-    """
+    """out = A @ x over the EllAdj format; differentiable in x and in
+    adj.vals (real SDDMM cotangent — see module docstring)."""
     return _spmm_ell_impl(adj.cols, adj.vals, adj.win, x,
                           adj.r, adj.k_pad, adj.n_rows, adj.chunks,
                           adj.products_bf16)
 
 
 def _spmm_ell_fwd(adj, x):
-    # dtype token (not x itself): backward only needs A^T and g.
-    return spmm_ell(adj, x), (adj, jnp.empty((0,), dtype=x.dtype))
+    # x is saved for the SDDMM; when nothing uses d_adj.vals, XLA drops
+    # both the residual read and the SDDMM computation.
+    return spmm_ell(adj, x), (adj, x)
 
 
 def _spmm_ell_bwd(res, g):
-    adj, x_token = res
+    adj, x = res
     dx = _spmm_ell_impl(adj.t_cols, adj.t_vals, adj.t_win, g,
                         adj.r, adj.k_pad, adj.n_cols, adj.t_chunks,
-                        adj.products_bf16).astype(x_token.dtype)
+                        adj.products_bf16).astype(x.dtype)
+    dvals = _ell_sddmm(adj.cols, adj.vals, adj.win, g, x, adj.r,
+                       adj.n_rows)
 
     def _zt(a):
         return np.zeros(a.shape, dtype=jax.dtypes.float0)
 
     d_adj = EllAdj(
-        cols=_zt(adj.cols), vals=jnp.zeros_like(adj.vals), win=_zt(adj.win),
+        cols=_zt(adj.cols), vals=dvals, win=_zt(adj.win),
         t_cols=_zt(adj.t_cols), t_vals=jnp.zeros_like(adj.t_vals),
         t_win=_zt(adj.t_win), n_rows=adj.n_rows,
         n_cols=adj.n_cols, nnz=adj.nnz, r=adj.r, k_pad=adj.k_pad,

@@ -84,6 +84,43 @@ def test_nonsymmetric_transpose_grad(rng):
     np.testing.assert_allclose(dx, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("k", [8, 32])
+def test_sddmm_vals_cotangent_matches_coo(rng, k):
+    """d loss / d vals via the ELL layout == the coo SDDMM
+    (dval[e] = <g[row_e], x[col_e]>, ops/spmm.py) at every stored edge."""
+    from gcn_tpu.ops.adjacency import device_adjacency
+
+    g = random_graph(rng, n=96, m=600, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    coo = device_adjacency(g, "coo")
+    x = jnp.asarray(rng.standard_normal((96, k)).astype(np.float32))
+
+    d_ell = jax.grad(lambda a: jnp.sum(spmm_ell(a, x) ** 2),
+                     allow_int=True)(adj)
+    d_coo = jax.grad(lambda a: jnp.sum(spmm(a, x) ** 2),
+                     allow_int=True)(coo)
+
+    # scatter the ELL cotangent back to dense (row, col) for comparison
+    cols = np.asarray(adj.cols)
+    dv = np.asarray(d_ell.vals, dtype=np.float64)
+    vals = np.asarray(adj.vals)
+    win = np.asarray(adj.win)
+    r = adj.r
+    dense_ref = np.zeros(g.shape, dtype=np.float64)
+    for b in range(cols.shape[0]):
+        for j in range(cols.shape[1]):
+            for i in range(r):
+                if vals[b, j, i] != 0:
+                    dense_ref[win[b] * r + i, cols[b, j, i]] += dv[b, j, i]
+    want = np.zeros(g.shape, dtype=np.float64)
+    # CooAdj pads edges to E_pad; stored edges are the first nnz entries.
+    np.add.at(want,
+              (np.asarray(coo.rows)[:g.nnz], np.asarray(coo.cols)[:g.nnz]),
+              np.asarray(d_coo.vals, np.float64)[:g.nnz])
+    np.testing.assert_allclose(dense_ref, want, rtol=1e-4, atol=1e-4)
+
+
 def test_grad_through_loss(rng):
     g = random_graph(rng, symmetric=True)
     g = g.permute(degree_sort_order(g))
