@@ -15,9 +15,12 @@ Knobs:
   exchange="halo"        one all_to_all of just the boundary rows
                          (gcn_tpu.parallel.halo) — the default
   exchange="all_gather"  full-activation gather (simple baseline)
-  kernel="ell"           per-shard aggregation through the packed Pallas
-                         SpMM (gcn_tpu.ops.ell_spmm); requires halo
-  kernel="segsum"        XLA sorted-segment-sum (default: portable)
+  kernel="ell"           per-shard aggregation through the packed-ELL
+                         SpMM (gcn_tpu.ops.ell_spmm); requires halo —
+                         the default (flagship path)
+  kernel="segsum"        XLA sorted-segment-sum (portable fallback)
+  overlap=True           interior/boundary split so local aggregation
+                         overlaps the halo all_to_all — the default
 
 New capability relative to the single-GPU reference (SURVEY.md §2d), shaped
 per BASELINE.md: edge partition + boundary exchange, aiming at >=90%
@@ -54,8 +57,8 @@ def make_sharded_gcn_train_step(
     with_relu: bool = True,
     axis: str = "data",
     exchange: str = "halo",
-    kernel: str = "segsum",
-    overlap: bool = False,
+    kernel: str = None,
+    overlap: bool = True,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
@@ -64,6 +67,10 @@ def make_sharded_gcn_train_step(
     shard_fn places host arrays with the right shardings.
     """
     assert exchange in ("halo", "all_gather")
+    if kernel is None:
+        # flagship default: packed-ELL + overlapped halo; the all_gather
+        # baseline keeps the portable segment-sum
+        kernel = "ell" if exchange == "halo" else "segsum"
     assert kernel in ("segsum", "ell")
     rps = sg.rows_per_shard
 
