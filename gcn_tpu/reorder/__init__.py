@@ -25,7 +25,8 @@ import numpy as np
 
 from gcn_tpu.graph.csr import CSRGraph
 
-METHODS = ("identity", "degree", "dfs", "rcm", "gorder", "rabbit")
+METHODS = ("identity", "degree", "dfs", "rcm", "gorder", "gorder3",
+           "rabbit")
 
 
 def compute_permutation(g: CSRGraph, method: str = "rabbit",

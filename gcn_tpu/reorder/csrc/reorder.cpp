@@ -175,10 +175,18 @@ struct BucketQueue {
   }
 };
 
-void order_gorder(const Csr& g, int32_t* perm, int32_t window = 5) {
+void order_gorder(const Csr& g, int32_t* perm, int32_t window = 5,
+                  bool siblings = false) {
   // Greedy: next vertex maximizes edges/shared-neighbors with the last
   // `window` placed vertices (order_gorder.cu:88-143). Hubs
   // (deg > sqrt(n)) are excluded from priority updates, bounding cost.
+  //
+  // `siblings`: also bump vertices sharing a neighbor with the window
+  // vertex — the reference's sibling term (order_gorder.cu:121-139 with
+  // locality_sibling=1). On the symmetric GCN adjacency the directed
+  // parent/child split collapses to plain neighbors, and siblings are the
+  // 2-hop neighborhood. The reference entry point runs window=3
+  // (renumber.cu:176); "gorder3" exposes that faithful configuration.
   const int32_t n = g.n;
   const int64_t huge = std::max<int64_t>(2, (int64_t)std::sqrt((double)n));
   // seed order: RCM for locality (complete_gorder composes RCM first)
@@ -197,6 +205,12 @@ void order_gorder(const Csr& g, int32_t* perm, int32_t window = 5) {
     for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e) {
       int32_t v = g.indices[e];
       if (!q.placed[v]) q.bump(v, delta);
+      if (siblings && g.deg(v) <= huge) {
+        for (int64_t e2 = g.indptr[v]; e2 < g.indptr[v + 1]; ++e2) {
+          int32_t s = g.indices[e2];
+          if (s != u && !q.placed[s]) q.bump(s, delta);
+        }
+      }
     }
   };
 
@@ -367,6 +381,8 @@ extern "C" int gcn_reorder(const char* method, const int32_t* indptr,
       order_rcm(g, perm_out);
     } else if (m == "gorder") {
       order_gorder(g, perm_out);
+    } else if (m == "gorder3") {
+      order_gorder(g, perm_out, 3, true);
     } else if (m == "rabbit") {
       order_rabbit(g, perm_out);
     } else {

@@ -88,7 +88,8 @@ def bfs_order(g: CSRGraph, start: int = 0) -> np.ndarray:
     return order
 
 
-def gorder_order(g: CSRGraph, window: int = 5) -> np.ndarray:
+def gorder_order(g: CSRGraph, window: int = 5,
+                 siblings: bool = False) -> np.ndarray:
     """Sliding-window greedy locality ordering (order_gorder.cu:13-143).
 
     Next vertex = argmax over unplaced v of the number of edges/shared
@@ -96,6 +97,10 @@ def gorder_order(g: CSRGraph, window: int = 5) -> np.ndarray:
     with a lazy max-heap; hub vertices (deg > sqrt(n)) are skipped during
     priority updates, as in the reference (order_gorder.cu via huge=sqrt(n),
     unitheap.cu:19), which bounds the cost at O(E * d_avg) amortized.
+
+    ``siblings=True`` adds the reference's shared-in-neighbor term
+    (order_gorder.cu:121-139): window vertices also bump their 2-hop
+    neighborhood (the undirected collapse of parent/child/sibling).
     """
     n = g.shape[0]
     if n == 0:
@@ -119,14 +124,21 @@ def gorder_order(g: CSRGraph, window: int = 5) -> np.ndarray:
     win: list[int] = []
     order = np.empty(n, dtype=np.int32)
 
+    def bump1(v: int, delta: int):
+        if not placed[v]:
+            prio[v] += delta
+            if delta > 0:
+                heapq.heappush(heap, (-int(prio[v]), int(seed_rank[v]), v))
+
     def bump(u: int, delta: int):
         if deg[u] > huge:
             return
         for v in indices[indptr[u]:indptr[u + 1]]:
-            if not placed[v]:
-                prio[v] += delta
-                if delta > 0:
-                    heapq.heappush(heap, (-int(prio[v]), int(seed_rank[v]), v))
+            bump1(v, delta)
+            if siblings and deg[v] <= huge:
+                for s in indices[indptr[v]:indptr[v + 1]]:
+                    if s != u:
+                        bump1(s, delta)
 
     for pos in range(n):
         while True:
@@ -140,6 +152,12 @@ def gorder_order(g: CSRGraph, window: int = 5) -> np.ndarray:
         if len(win) > window:
             bump(win.pop(0), -1)
     return order
+
+
+def gorder3_order(g: CSRGraph) -> np.ndarray:
+    """The reference entry point's faithful configuration: window=3
+    (renumber.cu:176) with the sibling term (order_gorder.cu:121-139)."""
+    return gorder_order(g, window=3, siblings=True)
 
 
 def rabbit_order(g: CSRGraph, max_rounds: int = 64,

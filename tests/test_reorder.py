@@ -79,6 +79,32 @@ def test_gorder_valid_on_weighted(rng):
     validate_permutation(perm, 80)
 
 
+def test_gorder3_native_matches_python(rng):
+    """gorder3 (window=3 + sibling term, the reference entry-point config,
+    renumber.cu:176 / order_gorder.cu:121-139): native and python agree."""
+    from gcn_tpu.reorder import compute_permutation, native, python_impl
+
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    g = coo_to_csr(src, dst, np.ones(300, np.float32), (60, 60)).symmetrize()
+    py = python_impl.gorder3_order(g)
+    validate_permutation(py, 60)
+
+    def locality(perm):
+        rank = np.empty(60, dtype=np.int64)
+        rank[perm] = np.arange(60)
+        rows = np.repeat(np.arange(60), np.diff(g.indptr))
+        return int(np.sum(np.abs(rank[rows] - rank[g.indices]) <= 8))
+
+    if native.available():
+        nat = compute_permutation(g, "gorder3")
+        validate_permutation(nat, 60)
+        # tie-breaking differs (BucketQueue vs lazy heap) so orders are
+        # not bit-equal; both must land the same locality ballpark
+        assert locality(nat) > 0.7 * locality(py)
+        assert locality(py) > 0.7 * locality(nat)
+
+
 def test_modularity_positive_on_sbm():
     g, labels = sbm(n=400, n_classes=4, avg_degree=12.0, seed=5, shuffle=False)
     q = python_impl.modularity(g, labels.astype(np.int64))
