@@ -16,6 +16,11 @@ for g in synth-pubmed synth-flickr synth-arxiv synth-reddit; do
     --variant "$VARIANT" || echo "[sweep] $g failed"
 done
 
+# real-data accuracy-parity gate: fires automatically once files are
+# provisioned (same gate as tests/test_real_data.py)
+python -m pytest tests/test_real_data.py -q -rs 2>/dev/null | tail -2 \
+  || echo "[sweep] real-data parity tests unavailable"
+
 # real datasets, if present (pubmed flickr reddit ppi amazon yelp — run.sh:3-9)
 for g in pubmed flickr reddit ppi amazon yelp; do
   python - "$g" <<'EOF' || continue
