@@ -1,19 +1,28 @@
 """SpMM benchmark — prints ONE JSON line for the driver.
 
-Metric: Pallas packed-ELL SpMM throughput (edges/s) on an ogbn-arxiv-sized
+Metric: packed-ELL SpMM throughput (edges/s) on an ogbn-arxiv-sized
 synthetic power-law graph (n=169343, ~2.3M directed edges after
 symmetrization) at feature width k=32, after Rabbit reordering + degree
-sort (the v6 pipeline).
+sort (the v6 pipeline), with the fully-grouped-XLA pass reduce — the
+serving configuration (EllAdj.span_pass_limit=0; forward-only programs
+compile in ~30 s). The training default (span_pass_limit=16, which trades
+~9% SpMM for 10x faster vjp+scan compiles) is reported alongside as
+ell_ms_train_default; both are first-class shipped configurations
+(ops/ell_spmm.py, tile/ell.py).
 
 vs_baseline: speedup over the XLA-native COO gather+segment-sum SpMM — the
 cuSPARSE-equivalent vendor path this framework's kernel replaces
 (reference: cuspmm.cu:23-68 vs flexspmm.cu).
 
-Context for the absolute number: the TPU-practical bound for arbitrary-
-pattern SpMM is the XLA row-gather at ~4.5 ns/gathered-slot (measured
-per-index bound, independent of locality/dtype/k<=32); at this graph's
-ELL fill that bound is ~12 ms — the kernel runs inside ~20% of it, i.e.
-the remaining cost IS the gather primitive, not the framework.
+Roofline (the `roofline_pct` detail): arbitrary-pattern SpMM on TPU is
+bound by the XLA row-gather primitive — one row read per edge slot. The
+bound is MEASURED IN SITU here, not quoted: a chained stride-sum gather
+(the kernel's own consumption pattern, no SpMM math) over a table of the
+same height/width/dtype gives ns/slot; roofline_ms = slots x ns_slot and
+roofline_pct = 100 * roofline_ms / ell_ms. The standalone sweep behind
+this protocol (gather rate vs table height/dtype, HBM stream comparison
+showing the gather is issue-rate- not bandwidth-bound) is
+examples/bench_gather.py -> results/gather_microbench.json.
 
 Timing protocol (axon relay specifics): the relay caches identical
 executions and block_until_ready does not actually block, so every
@@ -53,6 +62,14 @@ def bench_spmm(fn, args, x0, overhead, inner=30, rounds=3):
     return best
 
 
+_T0 = time.time()
+# wall-clock budget for the OPTIONAL train-step detail benches: their
+# first-ever compile through the relay can take minutes; the primary
+# SpMM metric + roofline always complete first (~2 min) and must never
+# be lost to a driver timeout
+_DETAIL_BUDGET_S = 360.0
+
+
 def main():
     from gcn_tpu.data import get_dataset
     from gcn_tpu.graph.normalize import gcn_normalize
@@ -73,21 +90,41 @@ def main():
         * 0.01)
     overhead = _sync_overhead(x0)
 
-    adj_ell = ell_adjacency(g_re, symmetric=True)
+    # primary: the serving configuration (span_pass_limit=0 — fully
+    # grouped reduce; forward-only programs compile in ~30 s). The
+    # training default (span_pass_limit=16, chosen for vjp+scan compile
+    # time) is reported alongside as ell_ms_train_default.
+    adj_ell = ell_adjacency(g_re, symmetric=True, span_pass_limit=0)
     t_ell = bench_spmm(lambda a, xx: spmm_ell(a, xx), adj_ell, x0,
-                       overhead)
+                       overhead, rounds=5)
+    adj_ell_train = ell_adjacency(g_re, symmetric=True)
+    t_ell_train = bench_spmm(lambda a, xx: spmm_ell(a, xx), adj_ell_train,
+                             x0, overhead)
     adj_coo = coo_adjacency(g_re, symmetric=True)
     t_coo = bench_spmm(lambda a, xx: spmm(a, xx), adj_coo, x0, overhead,
                        inner=5)
 
+    # in-situ roofline: chained stride-sum gather at the kernel's table
+    # shape — the data-movement floor of one SpMM (see module docstring)
+    ns_slot = _gather_ns_per_row(n, k, overhead, rounds=5)
+    slots = int(adj_ell.cols.size)
+    roofline_ms = slots * ns_slot * 1e-6
+    roofline_pct = 100.0 * roofline_ms / (t_ell * 1e3)
+
     # full training step (fwd + bwd + adam): generic (4 SpMM/iter) and
     # with the layer-1 hoisting the models apply by default (2 SpMM/iter).
-    # Detail-only: never allowed to sink the primary metric.
+    # Detail-only: never allowed to sink the primary metric — skipped with
+    # -1 sentinels on error or when the wall-clock budget is spent.
     try:
-        t_step = bench_train_step(adj_ell, data, overhead)
-        ax = jnp.asarray(spmm_ell(adj_ell, jnp.asarray(data.features)))
-        t_step_hoisted = bench_train_step(adj_ell, data, overhead,
-                                          feats_ax=ax)
+        t_step = (bench_train_step(adj_ell_train, data, overhead)
+                  if time.time() - _T0 < _DETAIL_BUDGET_S else -1.0)
+        if t_step > 0 and time.time() - _T0 < _DETAIL_BUDGET_S:
+            ax = jnp.asarray(spmm_ell(adj_ell_train,
+                                      jnp.asarray(data.features)))
+            t_step_hoisted = bench_train_step(adj_ell_train, data,
+                                              overhead, feats_ax=ax)
+        else:
+            t_step_hoisted = -1.0
     except Exception:
         t_step = t_step_hoisted = -1.0  # sentinel: detail bench failed
 
@@ -99,13 +136,46 @@ def main():
         "vs_baseline": round(t_coo / t_ell, 3),
         "detail": {
             "ell_ms": round(t_ell * 1e3, 3),
+            "ell_ms_train_default": round(t_ell_train * 1e3, 3),
             "coo_baseline_ms": round(t_coo * 1e3, 3),
-            "train_step_ms": round(t_step * 1e3, 3),
-            "train_step_hoisted_ms": round(t_step_hoisted * 1e3, 3),
+            "roofline_ms": round(roofline_ms, 3),
+            "roofline_pct": round(roofline_pct, 1),
+            "roofline_ns_per_slot": round(ns_slot, 3),
+            "slots": slots,
+            "train_step_ms": round(t_step * 1e3, 3) if t_step > 0 else -1,
+            "train_step_hoisted_ms": (round(t_step_hoisted * 1e3, 3)
+                                      if t_step_hoisted > 0 else -1),
             "n": n, "nnz": e, "k": k,
             "pad_fraction": round(adj_ell.pad_fraction, 4),
         },
     }))
+
+
+def _gather_ns_per_row(n, k, overhead, inner=30, rounds=3, seed=1):
+    """Chained stride-sum gather (the SpMM's consumption pattern, minus the
+    SpMM math): ns per gathered row from an (n, k) f32 table. Same
+    protocol as examples/bench_gather.py::bench_chained_gather."""
+    rng = np.random.default_rng(seed)
+    stride = 8
+    x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
+    idx = jnp.asarray(rng.integers(0, n, (stride, n), dtype=np.int32))
+
+    def step(ii, acc):
+        out = None
+        for j in range(stride):
+            t = jnp.take(acc, ii[j], axis=0)
+            out = t if out is None else out + t
+        return out
+
+    run = jax.jit(lambda ii, xx: jnp.sum(jax.lax.fori_loop(
+        0, inner, lambda i, acc: step(ii, acc) * 0.999 + xx * 1e-6, xx)))
+    float(run(idx, x0 * 0.5))
+    best = 1e9
+    for r in range(1, rounds + 1):
+        t0 = time.perf_counter()
+        float(run(idx, x0 * (1 + r * 1e-3)))
+        best = min(best, (time.perf_counter() - t0 - overhead) / inner)
+    return best / (stride * n) * 1e9
 
 
 def bench_train_step(adj, data, overhead, inner=10, rounds=3,

@@ -159,7 +159,7 @@ class GCN:
         kwargs = {}
         if kind == "auto" and max(g.shape) > 8192:
             kind = "coo"
-        if kind in ("panel", "ell"):
+        if kind == "ell":
             try:
                 import gcn_tpu.tile  # noqa: F401
             except ImportError:
@@ -167,7 +167,7 @@ class GCN:
 
                 warnings.warn("tiled adjacency unavailable; falling back to coo")
                 kind = "coo"
-        if kind in ("coo", "panel", "ell"):
+        if kind in ("coo", "ell"):
             # The GCN normalization of a symmetric adjacency is symmetric, so
             # the backward pass may reuse the forward arrays (gcn6.py:49-62).
             kwargs["symmetric"] = True if normalized else None

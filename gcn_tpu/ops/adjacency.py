@@ -145,8 +145,11 @@ def dense_adjacency(g: CSRGraph) -> DenseAdj:
 def device_adjacency(g: CSRGraph, kind: str = "auto", **kwargs):
     """Lower a host CSRGraph to a device representation.
 
-    kind: "dense" | "coo" | "ell" | "panel" | "auto"
-    (dense when n <= 8192 else coo).
+    kind: "dense" | "coo" | "ell" | "auto" (dense when n <= 8192 else
+    coo). "panel" (the one-hot MXU alternate) is demoted to a test-side
+    reference implementation — strictly dominated by "ell" on every
+    measurement (docs/ROADMAP.md); tests build it via
+    gcn_tpu.tile.panel_adjacency directly.
     """
     if kind == "auto":
         kind = "dense" if max(g.shape) <= 8192 else "coo"
@@ -159,7 +162,7 @@ def device_adjacency(g: CSRGraph, kind: str = "auto", **kwargs):
 
         return ell_adjacency(g, **kwargs)
     if kind == "panel":
-        from gcn_tpu.tile import panel_adjacency
-
-        return panel_adjacency(g, **kwargs)
+        raise ValueError(
+            "'panel' is a test-side reference implementation only; use "
+            "'ell' (or build via gcn_tpu.tile.panel_adjacency directly)")
     raise ValueError(f"unknown adjacency kind: {kind!r}")

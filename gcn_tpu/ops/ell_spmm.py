@@ -11,9 +11,14 @@ that shaped this):
      primitive on TPU (~4.5 ns/row on v5e, per-index bound regardless of
      locality or dtype; a Pallas per-row DMA costs ~560 ns/row, 120x
      worse — measured).
-  2. reduce in Pallas: pass-blocks accumulate into their output window via
-     the VMEM revisit pattern (out block index = win[b], nondecreasing) —
-     pure VPU adds, exact f32, with Mosaic auto-pipelining the block DMA.
+  2. reduce over pass-blocks. Default (single row chunk): the GROUPED-XLA
+     reduce — equal-pass-count window spans (EllAdj.spans) turn the pass
+     reduction into a static reshape+sum that XLA fuses with stage 1's
+     gather, so the products slab never materializes (measured 1.19x over
+     the Pallas path on arxiv-k32: 7.9 -> 6.6 ms, within ~13% of the raw
+     chained-gather rate from examples/bench_gather.py). Row-chunked huge
+     graphs use the Pallas VMEM-revisit kernel below, whose products
+     buffer is explicitly bounded per chunk — pure VPU adds, exact f32.
 
 This is the TPU counterpart of the reference's flexspmm kernel family
 (flexspmm.cu:17-498), with its k-specialized variants (flexspmm.cu:510-541)
@@ -41,6 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 from gcn_tpu.tile.ell import EllAdj
 
 _VMEM_LIMIT = 100 * 1024 * 1024
+
+# The hub-span threshold lives on the adjacency (EllAdj.span_pass_limit,
+# default 16, env GCN_TPU_SPAN_LIMIT; 0 = unlimited serving config) —
+# see tile/ell.py for the measured compile/perf frontier.
 
 
 def _reduce_kernel(win_ref, prod_ref, out_ref):
@@ -104,8 +113,8 @@ def _packed_gather_stride_sum(cols, vals, x, k_pad):
     acc = None
     for j in range(p):
         c = cols[:, j, :].reshape(-1)
-        v = vals[:, j, :].reshape(-1).astype(x.dtype)
-        g = jnp.take(x128, c // q, axis=0)
+        v = vals[:, j, :].reshape(-1).astype(jnp.float32)
+        g = jnp.take(x128, c // q, axis=0).astype(jnp.float32)
         m = c % q
         part = None
         for mm in range(q):
@@ -121,28 +130,41 @@ def _gather_stride_sum(cols, vals, x, k_pad, out_dtype=jnp.float32):
     k = x.shape[1]
     if k < k_pad:
         x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
-    if k_pad < 128 and x.shape[0] > _PACK_TABLE_ROWS:
+    # bf16 tables stay residency-fast to ~2x the f32 row count (half the
+    # bytes per lane-padded row), so the packed-table crossover doubles.
+    pack_limit = _PACK_TABLE_ROWS * (2 if x.dtype == jnp.bfloat16 else 1)
+    if k_pad < 128 and x.shape[0] > pack_limit:
         return _packed_gather_stride_sum(cols, vals, x, k_pad).astype(
             out_dtype)
     p = cols.shape[1]
+    # gather in the table dtype (that sets the traffic); multiply and
+    # stride-accumulate in f32 (in-register, free under the fusion)
     acc = None
     for j in range(p):
         c = cols[:, j, :].reshape(-1)
-        v = vals[:, j, :].reshape(-1)
-        t = jnp.take(x, c, axis=0) * v[:, None].astype(x.dtype)
+        v = vals[:, j, :].reshape(-1).astype(jnp.float32)
+        t = jnp.take(x, c, axis=0).astype(jnp.float32) * v[:, None]
         acc = t if acc is None else acc + t
     return acc.astype(out_dtype)
 
 
 def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None,
-                   products_bf16=False):
+                   products_bf16=False, spans=(), table_bf16=False,
+                   span_limit=16):
     k = x.shape[1]
     pdt = jnp.bfloat16 if products_bf16 else jnp.float32
+    if table_bf16:
+        # round the gather table once: bf16 rows move 256 B instead of
+        # 512 B and stay residency-fast to ~2x the f32 row count
+        # (measured flat ~1.9-2.2 ns/row through n=233k where f32 is
+        # 3x degraded — examples/bench_gather.py). Products stay f32.
+        x = x.astype(jnp.bfloat16)
     if k > k_pad:
         # wide features: process in k_pad-column chunks
         parts = [
             _spmm_ell_impl(cols, vals, win, x[:, c:c + k_pad],
-                           r, k_pad, n_rows, chunks, products_bf16)
+                           r, k_pad, n_rows, chunks, products_bf16,
+                           spans, span_limit=span_limit)
             for c in range(0, k, k_pad)
         ]
         return jnp.concatenate(parts, axis=1)
@@ -157,6 +179,53 @@ def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None,
             outs.append(_ell_reduce(win[bs:be] - ws, products, r=r,
                                     k_pad=k_pad, n_rows=rows))
         out = jnp.concatenate(outs, axis=0)
+    elif spans:
+        # Hybrid reduce. Grouped-XLA for low-pass-count spans (the vast
+        # majority of windows on a degree-sorted graph): the pass
+        # reduction is a static reshape+sum which XLA fuses with the
+        # gather — no products materialization, no second dispatch
+        # (measured 1.19x over all-Pallas on arxiv-k32). Contiguous runs
+        # of hub spans (pw > span_limit) merge into Pallas revisit
+        # regions: one grouped segment per distinct hub pass count blows
+        # compile time (>400 s cold through the vjp+scan of a training
+        # step), and the measured alternatives — 16-fold reshape+sum
+        # (defeats the gather fusion, +0.9 ms) and 16-stream fold with
+        # tiler pass rounding (+0.5 ms of hub padding) — both lose to
+        # paying the hub region's small products round-trip here.
+        outs = []
+        run = []  # accumulating run of contiguous hub spans
+
+        def flush_run():
+            if not run:
+                return
+            b0, ws = run[0][0], run[0][3]
+            b1, we = run[-1][1], run[-1][4]
+            products = _gather_stride_sum(cols[b0:b1], vals[b0:b1], x,
+                                          k_pad, pdt)
+            rows = min((we - ws) * r, n_rows - ws * r)
+            outs.append(_ell_reduce(win[b0:b1] - ws, products, r=r,
+                                    k_pad=k_pad, n_rows=rows))
+            run.clear()
+
+        for span in spans:
+            b0, b1, pw, ws, we = span
+            if pw > span_limit:
+                run.append(span)
+                continue
+            flush_run()
+            prod = _gather_stride_sum(cols[b0:b1], vals[b0:b1], x,
+                                      k_pad, pdt)
+            outs.append(prod.reshape(we - ws, pw, r, k_pad)
+                        .astype(jnp.float32).sum(axis=1)
+                        .reshape((we - ws) * r, k_pad))
+        flush_run()
+        # trim window padding from the LAST piece only: slicing the full
+        # concatenation by a few rows defeats fusion and re-copies the
+        # whole output (~4% on arxiv)
+        total = sum(o.shape[0] for o in outs)
+        if total > n_rows:
+            outs[-1] = outs[-1][:outs[-1].shape[0] - (total - n_rows)]
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     else:
         products = _gather_stride_sum(cols, vals, x, k_pad, pdt)
         out = _ell_reduce(win, products, r=r, k_pad=k_pad, n_rows=n_rows)
@@ -197,7 +266,8 @@ def spmm_ell(adj: EllAdj, x: jnp.ndarray) -> jnp.ndarray:
     adj.vals (real SDDMM cotangent — see module docstring)."""
     return _spmm_ell_impl(adj.cols, adj.vals, adj.win, x,
                           adj.r, adj.k_pad, adj.n_rows, adj.chunks,
-                          adj.products_bf16)
+                          adj.products_bf16, adj.spans, adj.table_bf16,
+                          adj.span_pass_limit)
 
 
 def _spmm_ell_fwd(adj, x):
@@ -210,7 +280,8 @@ def _spmm_ell_bwd(res, g):
     adj, x = res
     dx = _spmm_ell_impl(adj.t_cols, adj.t_vals, adj.t_win, g,
                         adj.r, adj.k_pad, adj.n_cols, adj.t_chunks,
-                        adj.products_bf16).astype(x.dtype)
+                        adj.products_bf16, adj.t_spans, adj.table_bf16,
+                        adj.span_pass_limit).astype(x.dtype)
     dvals = _ell_sddmm(adj.cols, adj.vals, adj.win, g, x, adj.r,
                        adj.n_rows)
 
@@ -223,7 +294,9 @@ def _spmm_ell_bwd(res, g):
         t_win=_zt(adj.t_win), n_rows=adj.n_rows,
         n_cols=adj.n_cols, nnz=adj.nnz, r=adj.r, k_pad=adj.k_pad,
         symmetric=adj.symmetric, chunks=adj.chunks, t_chunks=adj.t_chunks,
-        products_bf16=adj.products_bf16,
+        products_bf16=adj.products_bf16, spans=adj.spans,
+        t_spans=adj.t_spans, table_bf16=adj.table_bf16,
+        span_pass_limit=adj.span_pass_limit,
     )
     return d_adj, dx
 

@@ -1,9 +1,11 @@
 """Pallas row-window SpMM over the PanelAdj format.
 
-NOTE: superseded by the packed-ELL path (gcn_tpu.ops.ell_spmm) — measured
-strictly slower (one-hot MXU scatter + per-backward SDDMM vs free
-fixed-stride adds) — and retained as an alternate strategy and for the
-one-hot-scatter reference implementation. New code should use EllAdj.
+NOTE: demoted to a TEST-SIDE REFERENCE IMPLEMENTATION. Superseded by the
+packed-ELL path (gcn_tpu.ops.ell_spmm) — measured strictly slower
+(one-hot MXU scatter + per-backward SDDMM vs free fixed-stride adds).
+Not reachable through device_adjacency(); tests build PanelAdj directly
+(gcn_tpu.tile.panel_adjacency) to cross-check the ELL kernel against an
+independent formulation. Do not grow this surface.
 
 TPU counterpart of the reference's flexspmm kernel family
 (flexspmm.cu:17-498). The CUDA design — persistent warps claiming 128-nnz

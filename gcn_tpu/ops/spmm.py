@@ -5,9 +5,12 @@ This is the hot op of GCN training (SURVEY.md §0). Strategies:
   * dense  — ``A @ X`` on the MXU (DenseAdj).
   * coo    — XLA gather + sorted segment-sum (CooAdj); the vendor-baseline
     analogue of the reference's cuSPARSE path (cuspmm.cu:23-68).
-  * panel  — Pallas row-panel kernel over the tiled format (PanelAdj), the
-    TPU-native counterpart of the reference's flexspmm persistent-block
-    kernels (flexspmm.cu:17-498). See gcn_tpu.ops.pallas_spmm.
+  * ell    — packed-ELL kernel (EllAdj), the flagship TPU counterpart of
+    the reference's flexspmm persistent-block kernels
+    (flexspmm.cu:17-498). See gcn_tpu.ops.ell_spmm.
+  * panel  — one-hot MXU alternate (PanelAdj); demoted to a test-side
+    reference implementation that cross-checks the ELL kernel
+    (docs/ROADMAP.md), still dispatchable here for those tests.
 
 All strategies share one differentiable entry point, ``spmm(adj, x)``, with a
 custom VJP:

@@ -6,10 +6,12 @@ Design rationale, from measurements on TPU v5e:
   * XLA's row gather (`jnp.take`) is **per-gathered-row bound**, and every
     gathered row moves a full 128-lane (512 B for f32) tile regardless of
     the feature width k — so at k=32 three quarters of the gather traffic
-    is lane padding. Packing P = 128/k_pad slots into each 128-lane row
-    (P independent gathers concatenated along lanes, which XLA fuses into
-    one loop) cuts the per-edge gather cost ~P-fold: measured 2.4 ns/edge
-    unpacked vs 1.05 ns/edge packed at k=32.
+    is lane padding. The rate is ~2.2-2.9 ns/row f32 while the table is
+    residency-fast, cliffing ~3x between n=169k and n=233k; bf16 tables
+    hold ~1.9-2.2 ns/row with no cliff through 233k. All rates are
+    reproduced by the committed chained-feedback microbenchmark
+    (examples/bench_gather.py -> results/gather_microbench.json) — the
+    same protocol backs bench.py's in-situ `roofline_pct`.
   * Column order does not affect gather speed (sorted == random), so the
     vertex order is free to serve the *scatter* side.
   * XLA's `segment_sum` scatter is catastrophically slow (~17 ns/edge); a
@@ -40,6 +42,7 @@ stealing.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -62,7 +65,8 @@ DEFAULT_CHUNK_SLOTS = 8_000_000
     jax.tree_util.register_dataclass,
     data_fields=["cols", "vals", "win", "t_cols", "t_vals", "t_win"],
     meta_fields=["n_rows", "n_cols", "nnz", "r", "k_pad", "symmetric",
-                 "chunks", "t_chunks", "products_bf16"],
+                 "chunks", "t_chunks", "products_bf16", "spans",
+                 "t_spans", "table_bf16", "span_pass_limit"],
 )
 @dataclasses.dataclass(frozen=True)
 class EllAdj:
@@ -99,6 +103,31 @@ class EllAdj:
     # One bf16 rounding per slot-sum: opt-in for training runs that accept
     # ~1e-3 relative error on the aggregation.
     products_bf16: bool = False
+    # equal-pass-count window spans: static tuples of
+    # (block_start, block_end, passes, win_start, win_end). Degree-sorted
+    # rows make window pass counts nonincreasing, so equal counts form a
+    # handful of contiguous spans (~44 on arxiv) — within a span the
+    # pass reduction is a static reshape+sum that XLA fuses with the
+    # gather, eliminating the products round-trip entirely (measured
+    # 7.9 -> 6.6 ms on arxiv-k32; see ops/ell_spmm.py).
+    spans: tuple = ()
+    t_spans: tuple = ()
+    # round the gather table (features) to bf16 before gathering: halves
+    # per-row gather traffic and doubles the residency-fast table height
+    # (no cliff through n=233k where f32 degrades 3x — measured,
+    # examples/bench_gather.py). Multiply/accumulate stay f32; error is
+    # one bf16 rounding of x (~1e-3 relative). Opt-in.
+    table_bf16: bool = False
+    # spans with pass count above this use the merged Pallas hub region;
+    # at or below, the fused grouped-XLA reduce. The compile/perf knob:
+    # 16 (default) keeps training-step (vjp+scan) cold compile ~40 s at
+    # ~7.1 ms arxiv-k32 SpMM; UNLIMITED (the serving configuration,
+    # ell_adjacency(span_pass_limit=0)) reaches 6.46 ms / 94% of the
+    # gather roofline but costs >400 s to compile a training step —
+    # forward-only (inference) programs still compile in ~30 s, which is
+    # why serving should use it. Override the default via
+    # GCN_TPU_SPAN_LIMIT.
+    span_pass_limit: int = 16
 
     @property
     def p(self) -> int:
@@ -156,6 +185,23 @@ def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     return cols, vals, win, pass_off
 
 
+def _span_plan(pass_off: np.ndarray) -> tuple:
+    """Contiguous window spans with equal pass count:
+    (block_start, block_end, passes, win_start, win_end) per span."""
+    passes = np.diff(pass_off)
+    nw = len(passes)
+    spans = []
+    ws = 0
+    while ws < nw:
+        we = ws
+        while we < nw and passes[we] == passes[ws]:
+            we += 1
+        spans.append((int(pass_off[ws]), int(pass_off[we]),
+                      int(passes[ws]), ws, we))
+        ws = we
+    return tuple(spans)
+
+
 def _chunk_plan(pass_off: np.ndarray, p: int, r: int,
                 max_slots: int) -> tuple:
     """Split blocks into chunks of <= max_slots slots at window starts."""
@@ -195,6 +241,8 @@ def ell_adjacency(
     prefer_native: bool = True,
     chunk_slots: int = DEFAULT_CHUNK_SLOTS,
     products_bf16: bool = False,
+    table_bf16: bool = False,
+    span_pass_limit: Optional[int] = None,
 ) -> EllAdj:
     """Tile a CSR graph into the EllAdj device format for feature widths
     <= ``k_pad`` (wider x is processed in k_pad-column chunks).
@@ -205,6 +253,10 @@ def ell_adjacency(
     """
     assert r % 8 == 0, "row window must be sublane-aligned"
     assert k_pad in (8, 16, 32, 64, 128), "k_pad must divide 128"
+    if span_pass_limit is None:
+        span_pass_limit = int(os.environ.get("GCN_TPU_SPAN_LIMIT", 16))
+    if span_pass_limit <= 0:          # 0 / negative = unlimited (serving)
+        span_pass_limit = 1 << 30
     p = 128 // k_pad
     if symmetric is None:
         symmetric = g.shape[0] == g.shape[1] and g.is_symmetric()
@@ -212,20 +264,24 @@ def ell_adjacency(
     cols, vals, win, off = _tile(g.indptr, g.indices, g.data, n, r, p,
                                  prefer_native)
     chunks = _chunk_plan(off, p, r, chunk_slots)
+    spans = _span_plan(off)
     cols_j, vals_j, win_j = jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(win)
     if symmetric:
         t = (cols_j, vals_j, win_j)
         t_chunks = chunks
+        t_spans = spans
     else:
         gt = g.transpose()
         tc, tv, tw, toff = _tile(gt.indptr, gt.indices, gt.data, m, r, p,
                                  prefer_native)
         t = (jnp.asarray(tc), jnp.asarray(tv), jnp.asarray(tw))
         t_chunks = _chunk_plan(toff, p, r, chunk_slots)
+        t_spans = _span_plan(toff)
     return EllAdj(
         cols=cols_j, vals=vals_j, win=win_j,
         t_cols=t[0], t_vals=t[1], t_win=t[2],
         n_rows=n, n_cols=m, nnz=g.nnz, r=r, k_pad=k_pad,
         symmetric=bool(symmetric), chunks=chunks, t_chunks=t_chunks,
-        products_bf16=products_bf16,
+        products_bf16=products_bf16, spans=spans, t_spans=t_spans,
+        table_bf16=table_bf16, span_pass_limit=span_pass_limit,
     )

@@ -248,6 +248,87 @@ def test_products_bf16_close(rng):
     assert np.abs(b - a).max() > 0  # really took the bf16 path
 
 
+def test_table_bf16_close(rng):
+    """table_bf16 rounds only the gather table: result within one bf16
+    rounding of exact, forward and backward."""
+    g = random_graph(rng, n=100, m=700, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    exact = ell_adjacency(g, r=8, k_pad=32)
+    approx = ell_adjacency(g, r=8, k_pad=32, table_bf16=True)
+    x = jnp.asarray(rng.standard_normal((100, 16)).astype(np.float32))
+    want = np.asarray(spmm_ell(exact, x))
+    got = np.asarray(spmm_ell(approx, x))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    gw = jax.grad(lambda xx: jnp.sum(spmm_ell(exact, xx) ** 2))(x)
+    ga = jax.grad(lambda xx: jnp.sum(spmm_ell(approx, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gw), rtol=5e-2,
+                               atol=5e-2)
+
+
+def test_serving_span_limit_matches_default(rng):
+    """span_pass_limit=0 (unlimited, the serving config) is numerically
+    identical to the training default."""
+    g = random_graph(rng, n=140, m=1000, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    a_default = ell_adjacency(g, r=8, k_pad=32)
+    a_serving = ell_adjacency(g, r=8, k_pad=32, span_pass_limit=0)
+    assert a_serving.span_pass_limit > 10**6
+    x = jnp.asarray(rng.standard_normal((140, 8)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(spmm_ell(a_default, x)),
+                                  np.asarray(spmm_ell(a_serving, x)))
+
+
+def test_grouped_matches_pallas_reduce(rng):
+    """The grouped-XLA reduce (spans) and the Pallas revisit reduce are
+    numerically identical (both exact f32)."""
+    import dataclasses
+
+    g = random_graph(rng, n=150, m=1100, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    assert adj.spans  # grouped path is the default
+    pallas_adj = dataclasses.replace(adj, spans=(), t_spans=())
+    x = jnp.asarray(rng.standard_normal((150, 8)).astype(np.float32))
+    a = np.asarray(spmm_ell(adj, x))
+    b = np.asarray(spmm_ell(pallas_adj, x))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_hub_pallas_region(rng):
+    """Hub windows (pass count > span_pass_limit) take the merged Pallas
+    revisit region inside the span path; result stays exact vs dense f64,
+    forward and backward."""
+    n = 96
+    # two hub rows (degree ~ 3*threshold*p) + a normal tail
+    src = np.concatenate([
+        np.zeros(200, np.int64), np.ones(180, np.int64),
+        rng.integers(2, n, 500),
+    ])
+    dst = np.concatenate([
+        rng.permutation(n)[:90].repeat(3)[:200],
+        rng.integers(0, n, 180),
+        rng.integers(0, n, 500),
+    ])
+    g = coo_to_csr(src, dst, rng.random(880).astype(np.float32),
+                   (n, n)).symmetrize(binarize=False)
+    g = g.permute(degree_sort_order(g))
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    assert any(pw > adj.span_pass_limit for _, _, pw, _, _ in adj.spans), \
+        "fixture must create at least one hub span"
+
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    got = np.asarray(spmm_ell(adj, x))
+    want = g.to_dense().astype(np.float64) @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(got, want[:, :8], rtol=1e-5, atol=1e-5)
+    # backward too
+    gx = jax.grad(lambda xx: jnp.sum(spmm_ell(adj, xx) ** 2))(x)
+    dense = jnp.asarray(g.to_dense())
+    wx = jax.grad(lambda xx: jnp.sum((dense @ xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_rectangular_matrix(rng):
     """EllAdj on non-square matrices (hypergraph incidence shape)."""
     n, m = 96, 40
