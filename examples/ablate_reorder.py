@@ -73,7 +73,8 @@ def main():
     ap.add_argument("-k", "--width", type=int, default=32)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--methods", nargs="*",
-                    default=["identity", "degree", "rcm", "gorder", "rabbit"])
+                    default=["identity", "degree", "rcm", "gorder",
+                             "gorder3", "rabbit"])
     args = ap.parse_args()
 
     import jax

@@ -19,7 +19,6 @@ from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gcn_tpu.graph.csr import CSRGraph
@@ -42,11 +41,17 @@ class ShardedGraph:
                 padding entries point at the last local row with val 0.
     cols:       int32[n_shards, e_max]  global column ids.
     vals:       f32[n_shards, e_max].
+
+    Arrays are HOST numpy: the halo/tiling planners consume them on the
+    host, and device placement is shard_fn's job — eager device arrays
+    here forced device->host pulls that cost minutes through the axon
+    relay (measured 401 s for build_halo_plan at pubmed scale vs 2 ms on
+    host data).
     """
 
-    rows_local: jnp.ndarray
-    cols: jnp.ndarray
-    vals: jnp.ndarray
+    rows_local: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
     n_rows: int
     n_cols: int
     rows_per_shard: int
@@ -96,9 +101,9 @@ def shard_graph_by_rows(g: CSRGraph, n_shards: int,
     cols[shard, pos] = g.indices
     vals[shard, pos] = g.data
     return ShardedGraph(
-        rows_local=jnp.asarray(rows_local),
-        cols=jnp.asarray(cols),
-        vals=jnp.asarray(vals),
+        rows_local=rows_local,
+        cols=cols,
+        vals=vals,
         n_rows=n, n_cols=g.shape[1],
         rows_per_shard=rows_per_shard, n_shards=n_shards, nnz=g.nnz,
     )
