@@ -40,6 +40,12 @@ def main():
                          "table (gcn6.py:404-410 equivalent)")
     ap.add_argument("--history-json", default=None,
                     help="write per-iteration loss (+val) records as JSON")
+    ap.add_argument("--table-bf16", action="store_true",
+                    help="bf16 gather table (f32 accumulate): no gather "
+                         "residency cliff past ~200k vertices; ~1e-3 rel "
+                         "error on the aggregation (tile/ell.py)")
+    ap.add_argument("--products-bf16", action="store_true",
+                    help="bf16 gather products on the Pallas-reduce paths")
     args = ap.parse_args()
 
     import jax
@@ -57,10 +63,15 @@ def main():
           f"f={data.num_features} classes={data.num_classes} "
           f"(loaded in {time.time()-t0:.2f}s)")
 
+    adj_options = {}
+    if args.table_bf16:
+        adj_options["table_bf16"] = True
+    if args.products_bf16:
+        adj_options["products_bf16"] = True
     model = GCN(
         data.num_features, args.hidden, data.num_classes,
         variant=args.variant, adj_kind=args.adj, reorder=args.reorder,
-        seed=args.seed,
+        seed=args.seed, adj_options=adj_options,
     )
     if args.load_path:
         model.load(args.load_path)

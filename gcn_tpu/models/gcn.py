@@ -78,6 +78,7 @@ class GCN:
         seed: int = 0,
         dtype=jnp.float32,
         hoist_ax: Optional[bool] = None,
+        adj_options: Optional[dict] = None,
     ):
         assert variant in _VARIANTS, f"variant must be one of {_VARIANTS}"
         self.nfeat, self.nhid, self.nclass = nfeat, nhid, nclass
@@ -101,6 +102,10 @@ class GCN:
         if adj_kind is None:
             adj_kind = "ell" if variant == "v6" else "auto"
         self.adj_kind = adj_kind
+        # extra device_adjacency kwargs, e.g. {"table_bf16": True} or
+        # {"products_bf16": True} for the big-graph bf16 trade-offs
+        # (tile/ell.py documents both)
+        self.adj_options = dict(adj_options or {})
         self.seed = seed
         self.dtype = dtype
 
@@ -178,6 +183,8 @@ class GCN:
                                                          self.nclass))
             kwargs["k_pad"] = next(k for k in (32, 64, 128)
                                    if k >= min(widest, 128))
+        if kind == "ell":
+            kwargs.update(self.adj_options)
         return device_adjacency(g, kind, **kwargs), perm
 
     def _remap_idx(self, idx):
