@@ -94,27 +94,52 @@ def _ell_reduce(win, products, *, r: int, k_pad: int, n_rows: int):
     return out[:n_rows]
 
 
-# XLA keeps a gather table fast (VMEM-resident) while its lane-PADDED
-# footprint (n * 128 lanes * 4B, regardless of k<=32) is small enough; the
-# gather degrades several-fold beyond that. Packing Q=128/k_pad table rows
-# per 128-lane row shrinks the real footprint Q-fold (gather q=col//Q, then
-# Q masked lane-group selects). Measured end-to-end (chained SpMM, v5e,
-# k_pad=32): plain wins up to n~233k (e.g. reddit 68 vs 102 ms); packed wins
-# 2.4-2.5x at n=466k (263->108 ms) and n=717k/yelp (374->151 ms).
-_PACK_TABLE_ROWS = 300_000
+# XLA keeps a gather table fast while its lane-PADDED footprint
+# (rows x 128 lanes x dtype bytes, regardless of k<=32) stays within the
+# on-chip residency envelope (~100 MB measured: f32 tables cliff between
+# n=169k/86MB and n=233k/119MB — examples/bench_gather.py). Packing q
+# table rows per 128-lane row (gather row//q, then q masked lane-group
+# selects) shrinks the footprint q-fold but adds ~2.5-3 ns/slot of
+# fused-loop select work per extra group. The measured decision surface
+# (chained SpMM, v5e, k_pad=32):
+#   footprint <= budget        -> q=1 wins outright (1.9-2.9 ns/slot)
+#   <= ~1.5x budget            -> plain only mildly degraded (5.9 ns at
+#                                 reddit/119MB) and q=2 is a wash (6.8)
+#                                 -> keep q=1
+#   beyond                     -> plain collapses (24+ ns at 466k f32);
+#                                 smallest q that fits wins: yelp bf16
+#                                 q=2 5.2 ns (76.8 ms, 1.8x over q=4),
+#                                 yelp f32 q=4 10.2 ns
+# bf16 tables halve every footprint, so table_bf16 halves the q needed.
+_TABLE_BUDGET_BYTES = 100 * 1024 * 1024
 
 
-def _packed_gather_stride_sum(cols, vals, x, k_pad):
+def _pack_q(n_table_rows, k_pad, dtype):
+    """Packing factor per the measured decision surface above."""
+    dsize = 2 if dtype == jnp.bfloat16 else 4
+    qmax = max(1, 128 // k_pad)
+
+    def footprint(q):
+        return -(-n_table_rows // q) * 128 * dsize
+
+    if footprint(1) <= 1.5 * _TABLE_BUDGET_BYTES:
+        return 1
+    q = 2
+    while q < qmax and footprint(q) > _TABLE_BUDGET_BYTES:
+        q *= 2
+    return q
+
+
+def _packed_gather_stride_sum(cols, vals, x, k_pad, q):
     n = x.shape[0]
-    q = 128 // k_pad
     npad = -(-n // q) * q
-    x128 = jnp.pad(x, ((0, npad - n), (0, 0))).reshape(npad // q, 128)
+    xq = jnp.pad(x, ((0, npad - n), (0, 0))).reshape(npad // q, q * k_pad)
     p = cols.shape[1]
     acc = None
     for j in range(p):
         c = cols[:, j, :].reshape(-1)
         v = vals[:, j, :].reshape(-1).astype(jnp.float32)
-        g = jnp.take(x128, c // q, axis=0).astype(jnp.float32)
+        g = jnp.take(xq, c // q, axis=0).astype(jnp.float32)
         m = c % q
         part = None
         for mm in range(q):
@@ -130,11 +155,9 @@ def _gather_stride_sum(cols, vals, x, k_pad, out_dtype=jnp.float32):
     k = x.shape[1]
     if k < k_pad:
         x = jnp.pad(x, ((0, 0), (0, k_pad - k)))
-    # bf16 tables stay residency-fast to ~2x the f32 row count (half the
-    # bytes per lane-padded row), so the packed-table crossover doubles.
-    pack_limit = _PACK_TABLE_ROWS * (2 if x.dtype == jnp.bfloat16 else 1)
-    if k_pad < 128 and x.shape[0] > pack_limit:
-        return _packed_gather_stride_sum(cols, vals, x, k_pad).astype(
+    q = _pack_q(x.shape[0], k_pad, x.dtype)
+    if q > 1:
+        return _packed_gather_stride_sum(cols, vals, x, k_pad, q).astype(
             out_dtype)
     p = cols.shape[1]
     # gather in the table dtype (that sets the traffic); multiply and

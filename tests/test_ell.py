@@ -190,10 +190,11 @@ def test_native_tiler_used_by_default(rng):
 
 
 def test_packed_gather_path_matches(rng, monkeypatch):
-    """Force the packed-table gather path and check numerics."""
+    """Force every packed-table q (budget -> q picks the max) and check
+    numerics; also check the q ladder itself."""
     import gcn_tpu.ops.ell_spmm as es
 
-    monkeypatch.setattr(es, "_PACK_TABLE_ROWS", 8)
+    monkeypatch.setattr(es, "_TABLE_BUDGET_BYTES", 1)  # forces q = qmax
     g = random_graph(rng, n=130, m=900, symmetric=True)
     g = g.permute(degree_sort_order(g))
     for k_pad, k in [(32, 32), (64, 48), (32, 8)]:
@@ -202,6 +203,19 @@ def test_packed_gather_path_matches(rng, monkeypatch):
         out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
         ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
         np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+    # intermediate q (2): budget that fits n/2 rows but not n
+    import jax.numpy as jnp2
+
+    budget = 80 * 128 * 4
+    monkeypatch.setattr(es, "_TABLE_BUDGET_BYTES", budget)
+    assert es._pack_q(130, 32, jnp2.float32) == 2
+    assert es._pack_q(130, 32, jnp2.bfloat16) == 1  # bf16 halves footprint
+    adj = ell_adjacency(g, r=16, k_pad=32)
+    x = rng.standard_normal((130, 16)).astype(np.float32)
+    out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
+    ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_row_chunked_spmm_matches(rng):
