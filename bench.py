@@ -106,7 +106,7 @@ def main():
 
     # in-situ roofline: chained stride-sum gather at the kernel's table
     # shape — the data-movement floor of one SpMM (see module docstring)
-    ns_slot = _gather_ns_per_row(n, k, overhead, rounds=5)
+    ns_slot = _gather_ns_per_row(n, k, rounds=5)
     slots = int(adj_ell.cols.size)
     roofline_ms = slots * ns_slot * 1e-6
     roofline_pct = 100.0 * roofline_ms / (t_ell * 1e3)
@@ -151,31 +151,20 @@ def main():
     }))
 
 
-def _gather_ns_per_row(n, k, overhead, inner=30, rounds=3, seed=1):
-    """Chained stride-sum gather (the SpMM's consumption pattern, minus the
-    SpMM math): ns per gathered row from an (n, k) f32 table. Same
-    protocol as examples/bench_gather.py::bench_chained_gather."""
-    rng = np.random.default_rng(seed)
-    stride = 8
-    x0 = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32) * 0.01)
-    idx = jnp.asarray(rng.integers(0, n, (stride, n), dtype=np.int32))
+def _gather_ns_per_row(n, k, rounds=3):
+    """ns per gathered row from an (n, k) f32 table — delegates to THE
+    protocol implementation (examples/bench_gather.py::
+    bench_chained_gather) so the in-bench roofline and the committed
+    microbenchmark can never diverge."""
+    import importlib.util
+    import os
 
-    def step(ii, acc):
-        out = None
-        for j in range(stride):
-            t = jnp.take(acc, ii[j], axis=0)
-            out = t if out is None else out + t
-        return out
-
-    run = jax.jit(lambda ii, xx: jnp.sum(jax.lax.fori_loop(
-        0, inner, lambda i, acc: step(ii, acc) * 0.999 + xx * 1e-6, xx)))
-    float(run(idx, x0 * 0.5))
-    best = 1e9
-    for r in range(1, rounds + 1):
-        t0 = time.perf_counter()
-        float(run(idx, x0 * (1 + r * 1e-3)))
-        best = min(best, (time.perf_counter() - t0 - overhead) / inner)
-    return best / (stride * n) * 1e9
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "examples", "bench_gather.py")
+    spec = importlib.util.spec_from_file_location("bench_gather", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.bench_chained_gather(n, k, jnp.float32, rounds=rounds)
 
 
 def bench_train_step(adj, data, overhead, inner=10, rounds=3,

@@ -17,9 +17,13 @@ for g in synth-pubmed synth-flickr synth-arxiv synth-reddit; do
 done
 
 # real-data accuracy-parity gate: fires automatically once files are
-# provisioned (same gate as tests/test_real_data.py)
-python -m pytest tests/test_real_data.py -q -rs 2>/dev/null | tail -2 \
-  || echo "[sweep] real-data parity tests unavailable"
+# provisioned (same gate as tests/test_real_data.py). Exit 5 = nothing
+# collected (fine); any other nonzero = a REAL parity failure.
+python -m pytest tests/test_real_data.py -q -rs | tail -2
+rc=${PIPESTATUS[0]}
+if [ "$rc" -ne 0 ] && [ "$rc" -ne 5 ]; then
+  echo "[sweep] REAL-DATA PARITY FAILURE (pytest exit $rc)"
+fi
 
 # real datasets, if present (pubmed flickr reddit ppi amazon yelp — run.sh:3-9)
 for g in pubmed flickr reddit ppi amazon yelp; do

@@ -185,6 +185,12 @@ class GCN:
                                    if k >= min(widest, 128))
         if kind == "ell":
             kwargs.update(self.adj_options)
+        elif self.adj_options:
+            import warnings
+
+            warnings.warn(
+                f"adj_options {sorted(self.adj_options)} only apply to the "
+                f"'ell' adjacency; resolved kind is {kind!r} — ignored")
         return device_adjacency(g, kind, **kwargs), perm
 
     def _remap_idx(self, idx):
@@ -313,7 +319,9 @@ class GCN:
         if perm is not None:
             inv = np.empty_like(perm)
             inv[perm] = np.arange(perm.shape[0])
-            lp = jnp.asarray(np.asarray(lp)[inv])
+            # on-device take: a host round-trip is minutes-scale through
+            # the compile relay at reddit/yelp sizes
+            lp = jnp.take(lp, jnp.asarray(inv), axis=0)
         return lp
 
     def profile_ops(self, n_iters: int = 20, warmup: int = 5,
@@ -355,15 +363,18 @@ class GCN:
                     h = tm.fence(bi(h, b))
             return h
 
-        def fwd(pp):
+        # graph-sized feats/adj are jit ARGUMENTS, never closure
+        # constants (CLAUDE.md: relay 413 + executable bloat)
+        def fwd(pp, ff, aa):
             from gcn_tpu.models.gcn_core import gcn_forward
 
-            return gcn_forward(pp, feats, adj, adj, orders=orders,
+            return gcn_forward(pp, ff, aa, aa, orders=orders,
                                dropout_rate=0.0, with_relu=self.with_relu,
                                train=False)
 
         fwd_j = jax.jit(fwd)
-        bwd_j = jax.jit(jax.grad(lambda pp: jnp.sum(fwd(pp))))
+        bwd_j = jax.jit(jax.grad(
+            lambda pp, ff, aa: jnp.sum(fwd(pp, ff, aa))))
         for i in range(n_iters + warmup):
             if i == warmup:
                 t.reset()
@@ -372,9 +383,9 @@ class GCN:
             h = jax.nn.relu(h)
             layer("l2", h, p["gc2"]["w"], p["gc2"].get("b"), orders[1])
             with t("fwd").d as tm:
-                tm.fence(fwd_j(p))
+                tm.fence(fwd_j(p, feats, adj))
             with t("bwd").d as tm:
-                tm.fence(bwd_j(p))
+                tm.fence(bwd_j(p, feats, adj))
         if verbose:
             print(t.report())
         return t

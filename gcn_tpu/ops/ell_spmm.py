@@ -122,8 +122,8 @@ def _pack_q(n_table_rows, k_pad, dtype):
     def footprint(q):
         return -(-n_table_rows // q) * 128 * dsize
 
-    if footprint(1) <= 1.5 * _TABLE_BUDGET_BYTES:
-        return 1
+    if qmax == 1 or footprint(1) <= 1.5 * _TABLE_BUDGET_BYTES:
+        return 1  # k_pad=128 rows already fill the lane dim: no packing
     q = 2
     while q < qmax and footprint(q) > _TABLE_BUDGET_BYTES:
         q *= 2
@@ -260,11 +260,14 @@ def _ell_sddmm(cols, vals, win, g, x, r, n_rows):
 
     The scatter side of the forward layout read as a gather: each slot's
     output row is static (win[b]*r + lane), so the SDDMM is two row
-    gathers and a lane dot — no scatter at all. Padding slots (vals == 0;
-    the tiler never stores explicit zeros) are masked so their cotangent
-    matches the coo SDDMM, which only produces gradients at stored nnz.
-    Feature columns are processed in chunks to bound the gathered
-    intermediates.
+    gathers and a lane dot — no scatter at all. Padding slots are masked
+    by ``vals == 0`` so their cotangent matches the coo SDDMM, which only
+    produces gradients at stored nnz. Caveat: a STORED edge whose weight
+    is exactly 0.0 is indistinguishable from padding in this layout and
+    also gets zero gradient (the coo path gives it the true cotangent);
+    if you train adjacency weights through zero, use the coo
+    representation. Feature columns are processed in chunks to bound the
+    gathered intermediates.
     """
     num_blocks, p, rr = cols.shape
     k = x.shape[1]

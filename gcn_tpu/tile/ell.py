@@ -202,6 +202,30 @@ def _span_plan(pass_off: np.ndarray) -> tuple:
     return tuple(spans)
 
 
+# The kernel emits one HLO gather+reduce segment per grouped span (plus
+# one per contiguous hub run). On a DEGREE-SORTED graph pass counts are
+# nonincreasing, so spans == distinct pass values (~44 on arxiv — the
+# intended program size, and what the span_pass_limit knob budgets for).
+# Without the sort, equal pass counts fragment into MANY runs (65+ on
+# pubmed measured; unbounded in general), blowing compile time and
+# risking the compile relay's program-size limit — those adjacencies
+# fall back to the single Pallas revisit reduce (round-1 path) instead.
+_MAX_REDUCE_SEGMENTS = 48
+
+
+def _guard_spans(spans: tuple, span_pass_limit: int) -> tuple:
+    segments = 0
+    prev_hub = False
+    for _, _, pw, _, _ in spans:
+        hub = pw > span_pass_limit
+        if not hub or not prev_hub:
+            segments += 1
+        prev_hub = hub
+    distinct = len({pw for _, _, pw, _, _ in spans})
+    fragmented = len(spans) > 1.5 * distinct
+    return () if (fragmented and segments > _MAX_REDUCE_SEGMENTS) else spans
+
+
 def _chunk_plan(pass_off: np.ndarray, p: int, r: int,
                 max_slots: int) -> tuple:
     """Split blocks into chunks of <= max_slots slots at window starts."""
@@ -264,7 +288,7 @@ def ell_adjacency(
     cols, vals, win, off = _tile(g.indptr, g.indices, g.data, n, r, p,
                                  prefer_native)
     chunks = _chunk_plan(off, p, r, chunk_slots)
-    spans = _span_plan(off)
+    spans = _guard_spans(_span_plan(off), span_pass_limit)
     cols_j, vals_j, win_j = jnp.asarray(cols), jnp.asarray(vals), jnp.asarray(win)
     if symmetric:
         t = (cols_j, vals_j, win_j)
@@ -276,7 +300,7 @@ def ell_adjacency(
                                  prefer_native)
         t = (jnp.asarray(tc), jnp.asarray(tv), jnp.asarray(tw))
         t_chunks = _chunk_plan(toff, p, r, chunk_slots)
-        t_spans = _span_plan(toff)
+        t_spans = _guard_spans(_span_plan(toff), span_pass_limit)
     return EllAdj(
         cols=cols_j, vals=vals_j, win=win_j,
         t_cols=t[0], t_vals=t[1], t_win=t[2],

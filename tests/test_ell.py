@@ -280,6 +280,32 @@ def test_table_bf16_close(rng):
                                atol=5e-2)
 
 
+def test_span_guard_on_unsorted_graph(rng):
+    """Non-degree-sorted graphs fragment into many equal-pass runs; the
+    tiler must drop spans (fall back to the Pallas reduce) rather than
+    emit an unbounded-segment program. Degree-sorted keeps them."""
+    from gcn_tpu.tile.ell import _MAX_REDUCE_SEGMENTS
+
+    # heavy-tailed degrees in random row order -> many span runs
+    n = 2000
+    deg = np.minimum((rng.pareto(1.0, n) * 6 + 1).astype(np.int64), 200)
+    src = np.repeat(np.arange(n), deg)
+    dst = rng.integers(0, n, src.shape[0])
+    g = coo_to_csr(src, dst, np.ones(src.shape[0], np.float32),
+                   (n, n)).symmetrize()
+    unsorted_adj = ell_adjacency(g, r=8, k_pad=32)
+    sorted_g = g.permute(degree_sort_order(g))
+    sorted_adj = ell_adjacency(sorted_g, r=8, k_pad=32)
+    assert sorted_adj.spans, "sorted graph should keep the grouped reduce"
+    assert unsorted_adj.spans == ()
+    del _MAX_REDUCE_SEGMENTS
+    # and the fallback still computes correctly
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    got = np.asarray(spmm_ell(unsorted_adj, x))
+    want = g.to_dense().astype(np.float64) @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(got, want[:, :8], rtol=1e-4, atol=1e-4)
+
+
 def test_serving_span_limit_matches_default(rng):
     """span_pass_limit=0 (unlimited, the serving config) is numerically
     identical to the training default."""
