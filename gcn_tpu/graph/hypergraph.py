@@ -68,6 +68,29 @@ def construct_H_with_KNN(
     return h
 
 
+def feature_concat(*f_list, normal_col: bool = False) -> np.ndarray:
+    """Multi-modality feature fusion (hypergraph_utils.py:28-55): skip
+    empty entries, flatten >2-D features to (objects, last_dim), optionally
+    max-abs-normalize each column (per matrix AND again after fusion, as
+    the reference does)."""
+    mats = []
+    for f in f_list:
+        if f is None or np.size(f) == 0:
+            continue
+        f = np.asarray(f)
+        if f.ndim > 2:
+            f = f.reshape(-1, f.shape[-1])
+        if normal_col:
+            f = f / np.maximum(np.max(np.abs(f), axis=0), 1e-12)
+        mats.append(f)
+    if not mats:
+        raise ValueError("no feature matrices to concatenate")
+    out = np.hstack(mats)
+    if normal_col:
+        out = out / np.maximum(np.max(np.abs(out), axis=0), 1e-12)
+    return out
+
+
 def hyperedge_concat(*h_list) -> np.ndarray:
     """Concatenate incidence matrices along hyperedges
     (hypergraph_utils.py:28-50), skipping empty entries."""

@@ -76,6 +76,23 @@ def test_knn_incidence_shape_and_degree(feats):
     assert np.all(nz > 0) and np.all(nz <= 1.0 + 1e-6)
 
 
+def test_feature_concat(feats):
+    """Multi-modality feature fusion: empty-skip, >2D flatten, normal_col
+    (hypergraph_utils.py:28-55)."""
+    from gcn_tpu.graph.hypergraph import feature_concat
+
+    x, _ = feats
+    a = x[:50]
+    b = np.stack([x[:50], x[:50] * 2], axis=1)  # (50, 2, 16) -> flattens
+    out = feature_concat(a, None, a * 3)
+    assert out.shape == (50, 32)
+    np.testing.assert_allclose(out[:, 16:], a * 3, rtol=1e-6)
+    flat = feature_concat(b)
+    assert flat.shape == (100, 16)
+    normed = feature_concat(a, a * 5, normal_col=True)
+    assert np.abs(normed).max() <= 1.0 + 1e-6
+
+
 def test_hyperedge_concat(feats):
     x, _ = feats
     h1 = construct_H_with_KNN(x, 5)
