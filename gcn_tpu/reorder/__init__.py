@@ -91,3 +91,19 @@ def validate_permutation(perm: np.ndarray, n: int) -> None:
     seen = np.zeros(n, dtype=bool)
     seen[perm] = True
     assert seen.all(), "not a permutation: missing indices"
+
+
+def save_order(path: str, perm: np.ndarray) -> None:
+    """Write a permutation as one vertex id per line — the reference's
+    order-file format (inout.cu:27-37), so orders interchange with its
+    tooling."""
+    np.savetxt(path, np.asarray(perm, dtype=np.int64), fmt="%d")
+
+
+def load_order(path: str, n: int = None) -> np.ndarray:
+    """Read an order file (one id per line, inout.cu:20-24); validates it
+    is a permutation when ``n`` is given."""
+    perm = np.loadtxt(path, dtype=np.int64).reshape(-1).astype(np.int32)
+    if n is not None:
+        validate_permutation(perm, n)
+    return perm

@@ -129,3 +129,15 @@ def test_rabbit_communities_and_stats(rng):
     assert stats["communities"] >= 1
     # SBM with strong intra-class blocks: positive modularity
     assert stats["modularity"] > 0.2
+
+
+def test_order_file_roundtrip(tmp_path, rng):
+    """Order save/load in the reference's one-id-per-line format
+    (inout.cu:20-37)."""
+    from gcn_tpu.reorder import load_order, save_order
+
+    perm = rng.permutation(57).astype(np.int32)
+    path = str(tmp_path / "order.txt")
+    save_order(path, perm)
+    back = load_order(path, n=57)
+    np.testing.assert_array_equal(back, perm)
