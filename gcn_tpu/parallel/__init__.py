@@ -1,5 +1,5 @@
 from gcn_tpu.parallel.halo import HaloPlan, build_halo_plan, dist_spmm_halo
-from gcn_tpu.parallel.mesh import create_mesh
+from gcn_tpu.parallel.mesh import create_mesh, create_mesh_2d
 from gcn_tpu.parallel.partition import (ShardedGraph,
                                         band_degree_sort_order,
                                         shard_graph_by_rows)
@@ -10,6 +10,7 @@ __all__ = [
     "band_degree_sort_order",
     "build_halo_plan",
     "create_mesh",
+    "create_mesh_2d",
     "dist_spmm_halo",
     "ShardedGraph",
     "shard_graph_by_rows",

@@ -27,6 +27,20 @@ def create_mesh(n_devices: Optional[int] = None,
                          devices=devices[:n_devices])
 
 
+def create_mesh_2d(n_data: int, n_model: int,
+                   axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+    """2-D mesh: row bands ("data" — the graph partition) x feature/hidden
+    columns ("model" — tensor parallelism for the dense matmuls and the
+    layer-2 SpMM). See make_sharded_gcn_train_step(model_axis=...)."""
+    devices = jax.devices()
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_data}x{n_model} devices, have {len(devices)}")
+    return jax.make_mesh((n_data, n_model), tuple(axis_names),
+                         devices=devices[:need])
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> Mesh:

@@ -59,12 +59,22 @@ def make_sharded_gcn_train_step(
     exchange: str = "halo",
     kernel: str = None,
     overlap: bool = True,
+    model_axis: str = None,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
     train_step(params, opt_state, rng, adj, x, labels, mask) -> (params,
     opt_state, loss); eval_fn(params, adj, x) -> log_probs (row-sharded);
     shard_fn places host arrays with the right shardings.
+
+    ``model_axis``: name of a SECOND mesh axis for tensor parallelism
+    over the feature/hidden dimension (create_mesh_2d). Per band:
+    x is column-sharded, X@W1 computes a partial product that
+    psum_scatters into hidden shards, the halo exchange + layer-1
+    aggregation and the layer-2 SpMM run on the hidden SHARD (splitting
+    the SpMM work across the model axis too), and W2's contraction
+    psums back to full class columns. Requires nfeat and nhid divisible
+    by the model-axis size. Composes with every exchange/kernel knob.
     """
     assert exchange in ("halo", "all_gather")
     if kernel is None:
@@ -132,6 +142,13 @@ def make_sharded_gcn_train_step(
         # bias is added AFTER aggregation, matching GraphConvolution:
         # out = A (X W) + b (gcn1.py:52-57)
         h = jnp.dot(x_band, w1, preferred_element_type=x_band.dtype)
+        if model_axis is not None:
+            # x cols and w1 rows are model-sharded: the dot built partial
+            # sums; reduce-scatter them into hidden shards so the halo
+            # exchange, aggregation, and layer-2 SpMM all run on H/m
+            # columns per chip
+            h = jax.lax.psum_scatter(h, model_axis, scatter_dimension=1,
+                                     tiled=True)
         h = band_spmm(extra_shard, plan_shard, h)
         if b1 is not None:
             h = h + b1
@@ -139,9 +156,21 @@ def make_sharded_gcn_train_step(
             h = jax.nn.relu(h)
             if train and dropout > 0:
                 band_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+                if model_axis is not None:
+                    band_rng = jax.random.fold_in(
+                        band_rng, jax.lax.axis_index(model_axis))
                 h = dropout_fn(band_rng, h, dropout, train=True)
-        h = jnp.dot(h, w2, preferred_element_type=h.dtype)
-        h = band_spmm(extra_shard, plan_shard, h)
+        if model_axis is None:
+            h = jnp.dot(h, w2, preferred_element_type=h.dtype)
+            h = band_spmm(extra_shard, plan_shard, h)
+        else:
+            # (A h) W ordering: aggregate the hidden SHARD (the layer-2
+            # SpMM splits over the model axis), then contract with the
+            # matching W2 row shard and psum to full class columns.
+            # Numerically identical: A (h W) == (A h) W.
+            h = band_spmm(extra_shard, plan_shard, h)
+            h = jnp.dot(h, w2, preferred_element_type=h.dtype)
+            h = jax.lax.psum(h, model_axis)
         if b2 is not None:
             h = h + b2
         return jax.nn.log_softmax(h, axis=1)
@@ -150,13 +179,23 @@ def make_sharded_gcn_train_step(
     extra = extra_dev if extra_dev is not None else coo_triple
     extra_spec = _shard_specs_like(extra, axis)
     plan_spec = _shard_specs_like(plan_dev, axis)
+    if model_axis is None:
+        param_spec = P()
+        x_spec = P(axis, None)
+    else:
+        # tensor parallelism: w1 rows (input features) and w2 rows
+        # (hidden) shard over the model axis; b1 follows the hidden
+        # shard produced by the psum_scatter; b2 stays replicated
+        param_spec = {"gc1": {"w": P(model_axis, None), "b": P(model_axis)},
+                      "gc2": {"w": P(model_axis, None), "b": P()}}
+        x_spec = P(axis, model_axis)
     # the adjacency structures enter the jitted programs as ARGUMENTS
     # (via shard_fn / the adj parameter), never as closure constants —
     # constants bloat executables and hit compile-service size limits at
     # big-graph scale
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), extra_spec, plan_spec, P(axis, None), P(axis),
+             in_specs=(param_spec, extra_spec, plan_spec, x_spec, P(axis),
                        P(axis), P()),
              out_specs=P(), check_vma=False)
     def loss_shmap(params, extra_shard, plan_shard, x_band, y_band,
@@ -180,7 +219,7 @@ def make_sharded_gcn_train_step(
         return params, opt_state, loss
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), extra_spec, plan_spec, P(axis, None)),
+             in_specs=(param_spec, extra_spec, plan_spec, x_spec),
              out_specs=P(axis, None), check_vma=False)
     def eval_shmap(params, extra_shard, plan_shard, x_band):
         return forward_band(params, extra_shard, plan_shard, x_band, None,
@@ -194,7 +233,7 @@ def make_sharded_gcn_train_step(
     def shard_fn(adj, x, labels, mask):
         del adj  # the right structure is built here from sg/plan
         row_sharding = NamedSharding(mesh, P(axis))
-        row2 = NamedSharding(mesh, P(axis, None))
+        row2 = NamedSharding(mesh, x_spec)
         extra_sh = jax.tree_util.tree_map(
             lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
             extra, extra_spec)
