@@ -60,6 +60,7 @@ def make_sharded_gcn_train_step(
     kernel: str = None,
     overlap: bool = True,
     model_axis: str = None,
+    with_bias: bool = True,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
@@ -185,9 +186,15 @@ def make_sharded_gcn_train_step(
     else:
         # tensor parallelism: w1 rows (input features) and w2 rows
         # (hidden) shard over the model axis; b1 follows the hidden
-        # shard produced by the psum_scatter; b2 stays replicated
-        param_spec = {"gc1": {"w": P(model_axis, None), "b": P(model_axis)},
-                      "gc2": {"w": P(model_axis, None), "b": P()}}
+        # shard produced by the psum_scatter; b2 stays replicated.
+        # with_bias must match the params structure (shard_map specs are
+        # structural).
+        gc1 = {"w": P(model_axis, None)}
+        gc2 = {"w": P(model_axis, None)}
+        if with_bias:
+            gc1["b"] = P(model_axis)
+            gc2["b"] = P()
+        param_spec = {"gc1": gc1, "gc2": gc2}
         x_spec = P(axis, model_axis)
     # the adjacency structures enter the jitted programs as ARGUMENTS
     # (via shard_fn / the adj parameter), never as closure constants —
