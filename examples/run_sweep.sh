@@ -21,8 +21,10 @@ done
 # collected (fine); any other nonzero = a REAL parity failure.
 python -m pytest tests/test_real_data.py -q -rs | tail -2
 rc=${PIPESTATUS[0]}
+sweep_failed=0
 if [ "$rc" -ne 0 ] && [ "$rc" -ne 5 ]; then
   echo "[sweep] REAL-DATA PARITY FAILURE (pytest exit $rc)"
+  sweep_failed=1
 fi
 
 # real datasets, if present (pubmed flickr reddit ppi amazon yelp — run.sh:3-9)
@@ -41,3 +43,5 @@ EOF
   python examples/train_gcn.py -g "$g" -k "$HIDDEN" -i "$ITERS" \
     --variant "$VARIANT" || echo "[sweep] $g failed"
 done
+
+exit "$sweep_failed"

@@ -55,6 +55,14 @@ def _as_csr(adj) -> CSRGraph:
     return CSRGraph.from_dense(np.asarray(adj))
 
 
+def _unpermute_rows(arr: jnp.ndarray, perm: np.ndarray) -> jnp.ndarray:
+    """Rows back to original vertex order, on device (a host round trip
+    costs minutes through the compile relay at reddit/yelp sizes)."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0])
+    return jnp.take(arr, jnp.asarray(inv), axis=0)
+
+
 def _as_dense_features(x) -> np.ndarray:
     if hasattr(x, "todense"):
         x = np.asarray(x.todense())
@@ -283,10 +291,12 @@ class GCN:
             rng=jax.random.PRNGKey(self.seed + 1), verbose=verbose,
             timers=self.timers, jit_loop=jit_loop)
         self.params = result.params
-        lp = np.asarray(result.log_probs)
+        lp = result.log_probs
         if self.perm is not None:
-            lp = lp[self._inv_perm]  # back to original vertex order
-        self.output = jnp.asarray(lp)
+            # back to original vertex order — ON DEVICE (a host round
+            # trip costs minutes through the compile relay at scale)
+            lp = _unpermute_rows(lp, self.perm)
+        self.output = lp
         self.history = result.history       # per-iter loss (+val) records
         self.best_iter = result.best_iter
         return self
@@ -317,11 +327,7 @@ class GCN:
                          dropout_rate=self.dropout,
                          with_relu=self.with_relu, train=False)
         if perm is not None:
-            inv = np.empty_like(perm)
-            inv[perm] = np.arange(perm.shape[0])
-            # on-device take: a host round-trip is minutes-scale through
-            # the compile relay at reddit/yelp sizes
-            lp = jnp.take(lp, jnp.asarray(inv), axis=0)
+            lp = _unpermute_rows(lp, perm)
         return lp
 
     def profile_ops(self, n_iters: int = 20, warmup: int = 5,

@@ -94,16 +94,26 @@ def validate_permutation(perm: np.ndarray, n: int) -> None:
 
 
 def save_order(path: str, perm: np.ndarray) -> None:
-    """Write a permutation as one vertex id per line — the reference's
-    order-file format (inout.cu:27-37), so orders interchange with its
-    tooling."""
-    np.savetxt(path, np.asarray(perm, dtype=np.int64), fmt="%d")
+    """Write an order file in the reference's format (inout.cu:27-37).
+
+    The reference stores RANK vectors — line u holds the new id of old
+    vertex u (rank[old]=new, cf. rank_from_order tools.cu:31-43) — while
+    this package passes permutations as perm[new]=old (the vomp
+    convention). The inverse is applied here so files interchange with
+    the reference tooling."""
+    perm = np.asarray(perm, dtype=np.int64)
+    rank = np.empty_like(perm)
+    rank[perm] = np.arange(perm.shape[0])
+    np.savetxt(path, rank, fmt="%d")
 
 
 def load_order(path: str, n: int = None) -> np.ndarray:
-    """Read an order file (one id per line, inout.cu:20-24); validates it
-    is a permutation when ``n`` is given."""
-    perm = np.loadtxt(path, dtype=np.int64).reshape(-1).astype(np.int32)
+    """Read a reference-format order file (rank[old]=new, one per line,
+    inout.cu:20-24) -> perm[new]=old; validated when ``n`` is given."""
+    rank = np.loadtxt(path, dtype=np.int64).reshape(-1)
+    perm = np.empty_like(rank)
+    perm[rank] = np.arange(rank.shape[0])
+    perm = perm.astype(np.int32)
     if n is not None:
         validate_permutation(perm, n)
     return perm

@@ -214,6 +214,11 @@ _MAX_REDUCE_SEGMENTS = 48
 
 
 def _guard_spans(spans: tuple, span_pass_limit: int) -> tuple:
+    # Segment count is what actually bounds compile time / program size,
+    # regardless of whether the excess came from run fragmentation
+    # (unsorted graphs) or from a degree-sorted graph with very many
+    # distinct pass values under an unlimited serving config — both fall
+    # back to the Pallas reduce past the budget.
     segments = 0
     prev_hub = False
     for _, _, pw, _, _ in spans:
@@ -221,9 +226,7 @@ def _guard_spans(spans: tuple, span_pass_limit: int) -> tuple:
         if not hub or not prev_hub:
             segments += 1
         prev_hub = hub
-    distinct = len({pw for _, _, pw, _, _ in spans})
-    fragmented = len(spans) > 1.5 * distinct
-    return () if (fragmented and segments > _MAX_REDUCE_SEGMENTS) else spans
+    return () if segments > _MAX_REDUCE_SEGMENTS else spans
 
 
 def _chunk_plan(pass_off: np.ndarray, p: int, r: int,

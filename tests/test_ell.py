@@ -284,8 +284,6 @@ def test_span_guard_on_unsorted_graph(rng):
     """Non-degree-sorted graphs fragment into many equal-pass runs; the
     tiler must drop spans (fall back to the Pallas reduce) rather than
     emit an unbounded-segment program. Degree-sorted keeps them."""
-    from gcn_tpu.tile.ell import _MAX_REDUCE_SEGMENTS
-
     # heavy-tailed degrees in random row order -> many span runs
     n = 2000
     deg = np.minimum((rng.pareto(1.0, n) * 6 + 1).astype(np.int64), 200)
@@ -298,7 +296,6 @@ def test_span_guard_on_unsorted_graph(rng):
     sorted_adj = ell_adjacency(sorted_g, r=8, k_pad=32)
     assert sorted_adj.spans, "sorted graph should keep the grouped reduce"
     assert unsorted_adj.spans == ()
-    del _MAX_REDUCE_SEGMENTS
     # and the fallback still computes correctly
     x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
     got = np.asarray(spmm_ell(unsorted_adj, x))

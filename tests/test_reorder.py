@@ -132,8 +132,9 @@ def test_rabbit_communities_and_stats(rng):
 
 
 def test_order_file_roundtrip(tmp_path, rng):
-    """Order save/load in the reference's one-id-per-line format
-    (inout.cu:20-37)."""
+    """Order save/load round-trips AND the on-disk format is the
+    reference's rank vector (rank[old]=new, inout.cu:20-37) — not the
+    perm[new]=old convention used in memory."""
     from gcn_tpu.reorder import load_order, save_order
 
     perm = rng.permutation(57).astype(np.int32)
@@ -141,3 +142,7 @@ def test_order_file_roundtrip(tmp_path, rng):
     save_order(path, perm)
     back = load_order(path, n=57)
     np.testing.assert_array_equal(back, perm)
+    on_disk = np.loadtxt(path, dtype=np.int64)
+    rank = np.empty(57, dtype=np.int64)
+    rank[perm] = np.arange(57)
+    np.testing.assert_array_equal(on_disk, rank)
