@@ -46,6 +46,10 @@ def main():
                          "error on the aggregation (tile/ell.py)")
     ap.add_argument("--products-bf16", action="store_true",
                     help="bf16 gather products on the Pallas-reduce paths")
+    ap.add_argument("--span-limit", type=int, default=None,
+                    help="EllAdj.span_pass_limit: 0 = fully-fused serving "
+                         "reduce (fastest SpMM, slow training-step "
+                         "compile); default 16 balances both (tile/ell.py)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +72,8 @@ def main():
         adj_options["table_bf16"] = True
     if args.products_bf16:
         adj_options["products_bf16"] = True
+    if args.span_limit is not None:
+        adj_options["span_pass_limit"] = args.span_limit
     model = GCN(
         data.num_features, args.hidden, data.num_classes,
         variant=args.variant, adj_kind=args.adj, reorder=args.reorder,
