@@ -84,6 +84,41 @@ def test_checkpoint_shape_mismatch(tmp_path):
         load_params(str(tmp_path / "c.npz"), {"w": jnp.zeros((2, 2))})
 
 
+def test_training_state_checkpoint_resume(tmp_path, rng):
+    """Full train-state round trip (params + optax adam state + iter),
+    and resumed training continues identically to uninterrupted."""
+    import optax
+
+    from gcn_tpu.train.optim import adam_l2
+    from gcn_tpu.utils.checkpoint import (load_training_state,
+                                          save_training_state)
+
+    params = {"w": jnp.asarray(rng.standard_normal((6, 3)),
+                               dtype=jnp.float32)}
+    tx = adam_l2(0.05, 1e-4)
+    opt = tx.init(params)
+    grads = {"w": jnp.ones((6, 3)) * 0.1}
+
+    def step(p, o):
+        upd, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, upd), o
+
+    # 3 uninterrupted steps = 1 step, checkpoint, restore, 2 more steps
+    p_ref, o_ref = params, opt
+    for _ in range(3):
+        p_ref, o_ref = step(p_ref, o_ref)
+
+    p1, o1 = step(params, opt)
+    path = str(tmp_path / "state")
+    save_training_state(path, p1, o1, 1)
+    p2, o2, it = load_training_state(path, params, tx.init(params))
+    assert it == 1
+    for _ in range(2):
+        p2, o2 = step(p2, o2)
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(p_ref["w"]),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_snapshot_is_host_copy(rng):
     p = {"w": jnp.asarray(rng.standard_normal((4, 4)), dtype=jnp.float32)}
     s = snapshot(p)
