@@ -224,6 +224,7 @@ class GCN:
         name: str = "dataset",
         jit_loop: bool = True,
         dump_adj_csv: Optional[str] = None,
+        resume_from: Optional[str] = None,
     ):
         g = _as_csr(adj)
         x = _as_dense_features(features)
@@ -258,6 +259,16 @@ class GCN:
                 jax.random.PRNGKey(self.seed), self.nfeat, self.nhid,
                 self.nclass, self.with_bias, self.dtype)
 
+        opt_state0 = None
+        self._iters_done = 0
+        tx = adam_l2(self.lr, self.weight_decay)
+        if resume_from is not None:
+            # mid-training resume: params + optimizer state + iteration
+            from gcn_tpu.utils.checkpoint import load_training_state
+
+            self.params, opt_state0, self._iters_done = load_training_state(
+                resume_from, self.params, tx.init(self.params))
+
         orders = self._orders()
         feats = self.features
         if self.hoist_ax:
@@ -285,12 +296,15 @@ class GCN:
                 train=train, rng=rng)
 
         result = fit_gcn(
-            self.params, adam_l2(self.lr, self.weight_decay), forward,
+            self.params, tx, forward,
             self.labels, idx_train, idx_val, forward_data=fdata,
             train_iters=train_iters, mode=mode, patience=patience,
             rng=jax.random.PRNGKey(self.seed + 1), verbose=verbose,
-            timers=self.timers, jit_loop=jit_loop)
+            timers=self.timers, jit_loop=jit_loop, opt_state=opt_state0)
         self.params = result.params
+        self.opt_state = result.opt_state
+        self._final_params = result.final_params
+        self._iters_done += len(result.history)
         lp = result.log_probs
         if self.perm is not None:
             # back to original vertex order — ON DEVICE (a host round
@@ -395,6 +409,17 @@ class GCN:
         if verbose:
             print(t.report())
         return t
+
+    def save_state(self, path: str) -> None:
+        """Save the FULL resumable training state (last-iterate params +
+        optimizer state + iteration count); continue later with
+        ``fit(..., resume_from=path, initialize=False)``."""
+        from gcn_tpu.utils.checkpoint import save_training_state
+
+        assert getattr(self, "opt_state", None) is not None, \
+            "nothing to save: call fit() first"
+        save_training_state(path, self._final_params, self.opt_state,
+                            self._iters_done)
 
     def save(self, path: str) -> None:
         """Save trained parameters (the torch.save analogue,

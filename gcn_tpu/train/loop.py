@@ -42,6 +42,8 @@ class TrainResult:
     timers: Timers
     history: list
     best_iter: int = -1
+    opt_state: object = None  # final optimizer state (for resume)
+    final_params: object = None  # last-iterate params (vs best snapshot)
 
 
 def fit_gcn(
@@ -65,6 +67,7 @@ def fit_gcn(
     warmup: int = 10,
     timers: Optional[Timers] = None,
     jit_loop: bool = True,
+    opt_state=None,  # resume from a checkpointed optimizer state
 ) -> TrainResult:
     if mode == "auto":
         mode = "no_val" if idx_val is None else "val"
@@ -78,7 +81,8 @@ def fit_gcn(
     if idx_val is not None:
         idx_val = jnp.asarray(idx_val)
 
-    opt_state = tx.init(params)
+    if opt_state is None:
+        opt_state = tx.init(params)
 
     def loss_fn(p, fd, yl, idx, step_rng):
         lp = forward(p, fd, True, step_rng)
@@ -164,7 +168,8 @@ def fit_gcn(
         best_lp = eval_step(params)
         best_iter = train_iters - 1
     return TrainResult(params=best_params, log_probs=best_lp, timers=timers,
-                       history=history, best_iter=best_iter)
+                       history=history, best_iter=best_iter,
+                       opt_state=opt_state, final_params=params)
 
 
 def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
@@ -255,7 +260,7 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
         carry, (losses, losses_val, accs_val) = run_all(
             carry0, forward_data, labels, idx_train, idx_val_a)
         t.fence(losses)
-    (p_fin, _, _, best_p, best_loss, _, best_it, _, stopped) = carry
+    (p_fin, o_fin, _, best_p, best_loss, _, best_it, _, stopped) = carry
 
     losses = np.asarray(losses)
     history = []
@@ -281,4 +286,5 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
         best_p, best_it = p_fin, train_iters - 1
     best_lp = eval_step_a(best_p, forward_data)
     return TrainResult(params=best_p, log_probs=best_lp, timers=timers,
-                       history=history, best_iter=int(best_it))
+                       history=history, best_iter=int(best_it),
+                       opt_state=o_fin, final_params=p_fin)

@@ -188,6 +188,31 @@ def test_predict_fresh_graph_runs_fit_pipeline(data):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fit_resume_matches_uninterrupted(data, tmp_path):
+    """fit 10 + save_state + resume 10 == one uninterrupted fit of 20
+    (same optimizer trajectory through the checkpoint)."""
+    from gcn_tpu.models import GCN
+
+    kw = dict(variant="v1", seed=0, dropout=0.0)
+    ref = GCN(data.num_features, 8, data.num_classes, **kw)
+    ref.fit(data.features, data.adj, data.labels, data.idx_train,
+            train_iters=20)
+
+    m = GCN(data.num_features, 8, data.num_classes, **kw)
+    m.fit(data.features, data.adj, data.labels, data.idx_train,
+          train_iters=10)
+    path = str(tmp_path / "state")
+    m.save_state(path)
+
+    m2 = GCN(data.num_features, 8, data.num_classes, **kw)
+    m2.fit(data.features, data.adj, data.labels, data.idx_train,
+           train_iters=10, resume_from=path, initialize=False)
+    assert m2._iters_done == 20
+    np.testing.assert_allclose(np.asarray(m2.output),
+                               np.asarray(ref.output), rtol=2e-4,
+                               atol=2e-5)
+
+
 def test_profile_ops_table(data):
     from gcn_tpu.models import GCN
 
