@@ -46,6 +46,11 @@ def main():
                          "error on the aggregation (tile/ell.py)")
     ap.add_argument("--products-bf16", action="store_true",
                     help="bf16 gather products on the Pallas-reduce paths")
+    ap.add_argument("--save-state", default=None,
+                    help="after fit, save the FULL resumable training "
+                         "state (params+optimizer+iteration)")
+    ap.add_argument("--resume-state", default=None,
+                    help="resume training from a --save-state checkpoint")
     ap.add_argument("--span-limit", type=int, default=None,
                     help="EllAdj.span_pass_limit: 0 = fully-fused serving "
                          "reduce (fastest SpMM, slow training-step "
@@ -99,8 +104,14 @@ def main():
         data.features, data.adj, data.labels, data.idx_train,
         idx_val=data.idx_val if args.with_val else None,
         train_iters=args.train_iters, verbose=args.verbose,
+        resume_from=args.resume_state,
+        initialize=args.resume_state is None,
     )
-    print(f"fit done in {time.time()-t0:.2f}s")
+    print(f"fit done in {time.time()-t0:.2f}s "
+          f"({model._iters_done} total iters)")
+    if args.save_state:
+        model.save_state(args.save_state)
+        print(f"training state saved to {args.save_state}")
     print(model.timers.report())
     acc = model.test(data.idx_test)
     log.info("graph=%s variant=%s hidden=%d iters=%d acc=%.4f fit_s=%.2f",
