@@ -113,7 +113,8 @@ class HGNN:
 
     def fit(self, features, G, labels, idx_train, idx_val=None, *,
             num_epochs: int = 600, verbose: bool = False,
-            print_freq: int = 100, jit_loop: bool = True):
+            print_freq: int = 100, jit_loop: bool = True,
+            resume_from: str = None):
         from gcn_tpu.ops.spmm import TwoHopAdj
 
         if isinstance(G, TwoHopAdj):
@@ -142,6 +143,14 @@ class HGNN:
                 self.n_class)
         tx = self._optimizer()
         opt_state = tx.init(self.params)
+        self._epochs_done = 0
+        if resume_from is not None:
+            # full resume: the MultiStepLR schedule position rides in the
+            # optax state, so the decayed lr continues where it left off
+            from gcn_tpu.utils.checkpoint import load_training_state
+
+            self.params, opt_state, self._epochs_done = \
+                load_training_state(resume_from, self.params, opt_state)
         rng = jax.random.PRNGKey(self.seed + 1)
 
         # hoist the training-invariant layer-1 aggregation: GX in eager
@@ -210,7 +219,7 @@ class HGNN:
                 carry, (losses, accs) = run_all(c0, gx, g_rowsum, adj,
                                                 labels, idx_train, idx_v)
                 t.fence(losses)
-            self.params, _, _, best_params, best_acc = carry
+            self.params, opt_state, _, best_params, best_acc = carry
             if idx_val is not None:
                 self.best_acc = float(best_acc)
             if verbose:
@@ -240,11 +249,25 @@ class HGNN:
                     if idx_val is not None:
                         msg += f" val_acc {acc:.4f} best {self.best_acc:.4f}"
                     print(msg)
+        self.opt_state = opt_state
+        self._final_params = self.params
+        self._epochs_done += num_epochs
         if idx_val is not None:
             self.params = best_params
         self.output = evaluate(self.params)
         self._labels = labels
         return self
+
+    def save_state(self, path: str) -> None:
+        """Save the FULL resumable training state (last-iterate params +
+        optimizer/schedule state + epoch count); continue with
+        ``fit(..., resume_from=path)``."""
+        from gcn_tpu.utils.checkpoint import save_training_state
+
+        assert getattr(self, "opt_state", None) is not None, \
+            "nothing to save: call fit() first"
+        save_training_state(path, self._final_params, self.opt_state,
+                            self._epochs_done)
 
     def test(self, idx_test, verbose: bool = True):
         idx = jnp.asarray(np.asarray(idx_test), dtype=jnp.int32)

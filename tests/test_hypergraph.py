@@ -177,6 +177,31 @@ def test_two_hop_factors_match_dense_G(rng):
                                atol=1e-5)
 
 
+def test_hgnn_resume_matches_uninterrupted(feats, tmp_path):
+    """HGNN fit(30) + save_state + resume fit(30) == fit(60), including
+    the MultiStepLR schedule position carried in the optax state."""
+    x, labels = feats
+    h = construct_H_with_KNN(x, 8)
+    g = generate_G_from_H(h)
+    idx = np.arange(160)
+    kw = dict(in_ch=16, n_class=4, n_hid=16, dropout=0.0, seed=0,
+              milestones=(20,))
+
+    ref = HGNN(**kw)
+    ref.fit(x, g, labels, idx, num_epochs=60)
+
+    m = HGNN(**kw)
+    m.fit(x, g, labels, idx, num_epochs=30)
+    path = str(tmp_path / "hgnn_state")
+    m.save_state(path)
+    m2 = HGNN(**kw)
+    m2.fit(x, g, labels, idx, num_epochs=30, resume_from=path)
+    assert m2._epochs_done == 60
+    np.testing.assert_allclose(np.asarray(m2.output),
+                               np.asarray(ref.output), rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_hgnn_trains_with_factored_G(rng):
     from gcn_tpu.graph.hypergraph import (construct_H_with_KNN,
                                           generate_G_factors)
