@@ -150,6 +150,38 @@ class EllAdj:
         total = self.cols.size
         return 1.0 - self.nnz / total if total else 0.0
 
+    def validate(self) -> None:
+        """Format-invariant walker — the debugging analogue of the
+        reference's UnitHeap::safety_check / csr2seg asserts
+        (unitheap.cu:244-295, tile.cu:27-28). Raises AssertionError on
+        the first violated invariant. Host-side; not for the hot path."""
+        for name, cols, vals, win, n_cols, spans in (
+                ("fwd", self.cols, self.vals, self.win, self.n_cols,
+                 self.spans),
+                ("bwd", self.t_cols, self.t_vals, self.t_win, self.n_rows,
+                 self.t_spans)):
+            cols_h = np.asarray(cols)
+            vals_h = np.asarray(vals)
+            win_h = np.asarray(win)
+            assert cols_h.shape == vals_h.shape == (win_h.shape[0],
+                                                    self.p, self.r), name
+            assert (np.diff(win_h) >= 0).all(), \
+                f"{name}: win must be nondecreasing"
+            nw = int(win_h.max()) + 1 if win_h.size else 0
+            assert set(win_h.tolist()) == set(range(nw)), \
+                f"{name}: every window must be visited"
+            real = vals_h != 0
+            assert (cols_h[real] >= 0).all() and \
+                (cols_h[real] < n_cols).all(), \
+                f"{name}: stored column out of range"
+            assert int(real.sum()) == self.nnz, \
+                f"{name}: stored nnz {int(real.sum())} != {self.nnz}"
+            for b0, b1, pw, ws, we in spans:
+                assert b1 - b0 == (we - ws) * pw, f"{name}: bad span"
+                assert (win_h[b0:b1] == np.repeat(
+                    np.arange(ws, we), pw)).all(), \
+                    f"{name}: span/window mismatch"
+
 
 def degree_sort_order(g: CSRGraph) -> np.ndarray:
     """perm[new] = old, rows by degree descending (stable: preserves the

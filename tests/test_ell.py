@@ -51,6 +51,24 @@ def test_tiler_conserves_nnz_and_values(rng):
         assert a == d and b == e and c == f
 
 
+def test_validate_passes_and_catches_corruption(rng):
+    """EllAdj.validate() (the safety_check analogue) accepts every
+    well-formed adjacency and rejects a corrupted one."""
+    import dataclasses
+
+    for symmetric in (True, False):
+        g = random_graph(rng, n=90, m=600, symmetric=symmetric)
+        ell_adjacency(g, r=8, k_pad=32).validate()
+    g = random_graph(rng, n=90, m=600, symmetric=True)
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    bad_win = np.asarray(adj.win).copy()
+    if len(bad_win) > 1:
+        bad_win[-1] = 0  # breaks nondecreasing
+        bad = dataclasses.replace(adj, win=jnp.asarray(bad_win))
+        with pytest.raises(AssertionError):
+            bad.validate()
+
+
 def test_every_window_visited(rng):
     g = random_graph(rng, n=100, m=50)  # sparse: some windows empty
     adj = ell_adjacency(g, r=8, k_pad=32)
