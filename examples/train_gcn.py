@@ -105,7 +105,6 @@ def main():
         idx_val=data.idx_val if args.with_val else None,
         train_iters=args.train_iters, verbose=args.verbose,
         resume_from=args.resume_state,
-        initialize=args.resume_state is None,
     )
     print(f"fit done in {time.time()-t0:.2f}s "
           f"({model._iters_done} total iters)")

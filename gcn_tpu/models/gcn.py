@@ -261,13 +261,26 @@ class GCN:
 
         opt_state0 = None
         self._iters_done = 0
+        rng0 = jax.random.PRNGKey(self.seed + 1)
         tx = adam_l2(self.lr, self.weight_decay)
         if resume_from is not None:
-            # mid-training resume: params + optimizer state + iteration
+            # mid-training resume: params + optimizer + iteration + rng
+            # (the rng continues the dropout stream exactly where the
+            # checkpoint left it -> resume == uninterrupted)
             from gcn_tpu.utils.checkpoint import load_training_state
 
-            self.params, opt_state0, self._iters_done = load_training_state(
-                resume_from, self.params, tx.init(self.params))
+            self.params, opt_state0, self._iters_done, saved_rng = \
+                load_training_state(resume_from, self.params,
+                                    tx.init(self.params))
+            if saved_rng is not None:
+                rng0 = saved_rng
+            if mode not in ("auto", "no_val") or idx_val is not None:
+                import warnings
+
+                warnings.warn(
+                    "resume_from restores params/optimizer/rng but NOT the "
+                    "best-validation snapshot or patience counter: best-val "
+                    "tracking restarts at the resume point")
 
         orders = self._orders()
         feats = self.features
@@ -299,11 +312,13 @@ class GCN:
             self.params, tx, forward,
             self.labels, idx_train, idx_val, forward_data=fdata,
             train_iters=train_iters, mode=mode, patience=patience,
-            rng=jax.random.PRNGKey(self.seed + 1), verbose=verbose,
-            timers=self.timers, jit_loop=jit_loop, opt_state=opt_state0)
+            rng=rng0, verbose=verbose,
+            timers=self.timers, jit_loop=jit_loop, opt_state=opt_state0,
+            start_iter=self._iters_done)
         self.params = result.params
         self.opt_state = result.opt_state
         self._final_params = result.final_params
+        self._final_rng = result.final_rng
         self._iters_done += len(result.history)
         lp = result.log_probs
         if self.perm is not None:
@@ -412,14 +427,15 @@ class GCN:
 
     def save_state(self, path: str) -> None:
         """Save the FULL resumable training state (last-iterate params +
-        optimizer state + iteration count); continue later with
-        ``fit(..., resume_from=path, initialize=False)``."""
+        optimizer state + iteration count + rng); continue later with
+        ``fit(..., resume_from=path)``."""
         from gcn_tpu.utils.checkpoint import save_training_state
 
         assert getattr(self, "opt_state", None) is not None, \
             "nothing to save: call fit() first"
         save_training_state(path, self._final_params, self.opt_state,
-                            self._iters_done)
+                            self._iters_done,
+                            rng=getattr(self, "_final_rng", None))
 
     def save(self, path: str) -> None:
         """Save trained parameters (the torch.save analogue,

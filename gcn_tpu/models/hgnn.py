@@ -144,14 +144,23 @@ class HGNN:
         tx = self._optimizer()
         opt_state = tx.init(self.params)
         self._epochs_done = 0
+        rng = jax.random.PRNGKey(self.seed + 1)
         if resume_from is not None:
             # full resume: the MultiStepLR schedule position rides in the
-            # optax state, so the decayed lr continues where it left off
+            # optax state and the dropout rng stream continues where the
+            # checkpoint left it
             from gcn_tpu.utils.checkpoint import load_training_state
 
-            self.params, opt_state, self._epochs_done = \
+            self.params, opt_state, self._epochs_done, saved_rng = \
                 load_training_state(resume_from, self.params, opt_state)
-        rng = jax.random.PRNGKey(self.seed + 1)
+            if saved_rng is not None:
+                rng = saved_rng
+            if idx_val is not None:
+                import warnings
+
+                warnings.warn(
+                    "resume_from restores params/optimizer/rng but NOT "
+                    "the best-val snapshot: best tracking restarts here")
 
         # hoist the training-invariant layer-1 aggregation: GX in eager
         # feature chunks (wide .mat features) + the row sums for the bias
@@ -219,7 +228,7 @@ class HGNN:
                 carry, (losses, accs) = run_all(c0, gx, g_rowsum, adj,
                                                 labels, idx_train, idx_v)
                 t.fence(losses)
-            self.params, opt_state, _, best_params, best_acc = carry
+            self.params, opt_state, rng, best_params, best_acc = carry
             if idx_val is not None:
                 self.best_acc = float(best_acc)
             if verbose:
@@ -251,6 +260,7 @@ class HGNN:
                     print(msg)
         self.opt_state = opt_state
         self._final_params = self.params
+        self._final_rng = rng
         self._epochs_done += num_epochs
         if idx_val is not None:
             self.params = best_params
@@ -267,7 +277,8 @@ class HGNN:
         assert getattr(self, "opt_state", None) is not None, \
             "nothing to save: call fit() first"
         save_training_state(path, self._final_params, self.opt_state,
-                            self._epochs_done)
+                            self._epochs_done,
+                            rng=getattr(self, "_final_rng", None))
 
     def test(self, idx_test, verbose: bool = True):
         idx = jnp.asarray(np.asarray(idx_test), dtype=jnp.int32)

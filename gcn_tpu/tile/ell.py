@@ -174,8 +174,12 @@ class EllAdj:
             assert (cols_h[real] >= 0).all() and \
                 (cols_h[real] < n_cols).all(), \
                 f"{name}: stored column out of range"
-            assert int(real.sum()) == self.nnz, \
-                f"{name}: stored nnz {int(real.sum())} != {self.nnz}"
+            # <= rather than ==: a source CSR may legitimately store
+            # explicit zero-valued entries, which are indistinguishable
+            # from padding in this layout (see _ell_sddmm's caveat)
+            assert int(real.sum()) <= self.nnz, \
+                f"{name}: more stored entries ({int(real.sum())}) than " \
+                f"nnz ({self.nnz})"
             for b0, b1, pw, ws, we in spans:
                 assert b1 - b0 == (we - ws) * pw, f"{name}: bad span"
                 assert (win_h[b0:b1] == np.repeat(

@@ -44,6 +44,7 @@ class TrainResult:
     best_iter: int = -1
     opt_state: object = None  # final optimizer state (for resume)
     final_params: object = None  # last-iterate params (vs best snapshot)
+    final_rng: object = None  # post-run rng (resume continues the stream)
 
 
 def fit_gcn(
@@ -68,6 +69,7 @@ def fit_gcn(
     timers: Optional[Timers] = None,
     jit_loop: bool = True,
     opt_state=None,  # resume from a checkpointed optimizer state
+    start_iter: int = 0,  # resume offset for history/best_iter records
 ) -> TrainResult:
     if mode == "auto":
         mode = "no_val" if idx_val is None else "val"
@@ -104,7 +106,8 @@ def fit_gcn(
                             labels, idx_train, idx_val, forward_data,
                             train_iters=train_iters,
                             mode=mode, patience=patience, rng=rng,
-                            verbose=verbose, timers=timers)
+                            verbose=verbose, timers=timers,
+                            start_iter=start_iter)
 
     def train_step(p, o, step_rng):
         return train_step_a(p, o, forward_data, labels, idx_train, step_rng)
@@ -127,7 +130,7 @@ def fit_gcn(
             params, opt_state, loss = train_step(params, opt_state, step_rng)
             t.fence(loss)
         loss = float(loss)
-        rec = {"iter": i, "loss_train": loss}
+        rec = {"iter": start_iter + i, "loss_train": loss}
 
         if mode in ("val", "early_stop"):
             lp = eval_step(params)
@@ -139,14 +142,17 @@ def fit_gcn(
                 # later improvement winning — gcn1.py:239-254 semantics.
                 if loss_val < best_loss_val:
                     best_loss_val = loss_val
-                    best_params, best_lp, best_iter = params, lp, i
+                    best_params, best_lp = params, lp
+                    best_iter = start_iter + i
                 if acc_val > best_acc_val:
                     best_acc_val = acc_val
-                    best_params, best_lp, best_iter = params, lp, i
+                    best_params, best_lp = params, lp
+                    best_iter = start_iter + i
             else:  # early_stop: patience on val loss (gcn1.py:277-292)
                 if loss_val < best_loss_val:
                     best_loss_val = loss_val
-                    best_params, best_lp, best_iter = params, lp, i
+                    best_params, best_lp = params, lp
+                    best_iter = start_iter + i
                     patience_left = patience
                 else:
                     patience_left -= 1
@@ -166,15 +172,16 @@ def fit_gcn(
     if mode == "no_val":
         best_params = params
         best_lp = eval_step(params)
-        best_iter = train_iters - 1
+        best_iter = start_iter + train_iters - 1
     return TrainResult(params=best_params, log_probs=best_lp, timers=timers,
                        history=history, best_iter=best_iter,
-                       opt_state=opt_state, final_params=params)
+                       opt_state=opt_state, final_params=params,
+                       final_rng=rng)
 
 
 def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
                  idx_train, idx_val, forward_data, *, train_iters, mode,
-                 patience, rng, verbose, timers):
+                 patience, rng, verbose, timers, start_iter=0):
     """Whole-training-run lax.scan: one device dispatch for the full loop.
 
     Best-val snapshots are tree-selects on the scan carry; early stopping
@@ -254,18 +261,20 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
     def run_all(c0, fd, yl, idx_tr, idx_v):
         val_metrics, train_step = body_args(fd, yl, idx_tr, idx_v)
         body = functools.partial(body_fn, val_metrics, train_step)
-        return jax.lax.scan(body, c0, jnp.arange(train_iters))
+        return jax.lax.scan(body, c0,
+                            start_iter + jnp.arange(train_iters))
 
     with timers("fit_scan").d as t:
         carry, (losses, losses_val, accs_val) = run_all(
             carry0, forward_data, labels, idx_train, idx_val_a)
         t.fence(losses)
-    (p_fin, o_fin, _, best_p, best_loss, _, best_it, _, stopped) = carry
+    (p_fin, o_fin, r_fin, best_p, best_loss, _, best_it, _,
+     stopped) = carry
 
     losses = np.asarray(losses)
     history = []
     for i in range(train_iters):
-        rec = {"iter": i, "loss_train": float(losses[i])}
+        rec = {"iter": start_iter + i, "loss_train": float(losses[i])}
         if track_val:
             rec["loss_val"] = float(np.asarray(losses_val)[i])
             rec["acc_val"] = float(np.asarray(accs_val)[i])
@@ -283,8 +292,9 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
               f"best val loss {float(best_loss):.4f} ===")
 
     if mode == "no_val":
-        best_p, best_it = p_fin, train_iters - 1
+        best_p, best_it = p_fin, start_iter + train_iters - 1
     best_lp = eval_step_a(best_p, forward_data)
     return TrainResult(params=best_p, log_probs=best_lp, timers=timers,
                        history=history, best_iter=int(best_it),
-                       opt_state=o_fin, final_params=p_fin)
+                       opt_state=o_fin, final_params=p_fin,
+                       final_rng=r_fin)

@@ -4,7 +4,10 @@ The reference keeps best weights in memory via ``deepcopy(state_dict())``
 (gcn1.py:247-256, pyhgnn/train.py:107-109) and has a vestigial
 ``torch.save``/``torch.load`` path (profiling_gcn.py:165-170). Here:
 a flat-npz format — pytree leaves keyed by their tree path — which is
-dependency-free, plus in-memory snapshot helpers.
+dependency-free, plus in-memory snapshot helpers and FULL training-state
+checkpoints (params + optimizer state + iteration + rng) for resumable
+training. All writes are atomic (tmp file + rename): an interruption
+mid-write can never destroy the previous checkpoint.
 """
 
 from __future__ import annotations
@@ -24,31 +27,32 @@ def _npz_path(path: str) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
-def _flatten(params) -> dict:
+def _leaf_key(path_elems) -> str:
+    return _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
+                     for p in path_elems)
+
+
+def _flatten(params, prefix: str = "") -> dict:
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[prefix + _leaf_key(path)] = np.asarray(leaf)
     return flat
 
 
-def save_params(path: str, params: Any) -> None:
-    """Save a pytree of arrays to ``path`` (npz, keys = tree paths)."""
-    path = _npz_path(path)
+def _atomic_savez(path: str, flat: dict) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **_flatten(params))
+    tmp = path + ".tmp.npz"  # .npz suffix: savez writes exactly this name
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
 
 
-def load_params(path: str, like: Any):
-    """Load into the structure of ``like`` (shape/dtype validated)."""
-    with np.load(_npz_path(path)) as f:
-        stored = dict(f)
+def _restore(stored: dict, like: Any, prefix: str = ""):
+    """Rebuild the structure of ``like`` from stored arrays
+    (shape-validated, dtypes matched)."""
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(like)
     new_leaves = []
     for path_elems, leaf in leaves_with_path:
-        key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
-                        for p in path_elems)
+        key = prefix + _leaf_key(path_elems)
         if key not in stored:
             raise KeyError(f"checkpoint missing parameter {key!r}")
         arr = stored[key]
@@ -60,50 +64,45 @@ def load_params(path: str, like: Any):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def save_params(path: str, params: Any) -> None:
+    """Save a pytree of arrays to ``path`` (npz, keys = tree paths)."""
+    _atomic_savez(_npz_path(path), _flatten(params))
+
+
+def load_params(path: str, like: Any):
+    """Load into the structure of ``like`` (shape/dtype validated)."""
+    with np.load(_npz_path(path)) as f:
+        stored = dict(f)
+    return _restore(stored, like)
+
+
 def save_training_state(path: str, params: Any, opt_state: Any,
-                        iteration: int) -> None:
+                        iteration: int, rng=None) -> None:
     """Full mid-training checkpoint: parameters + optimizer state +
-    iteration counter in one npz (keys namespaced ``params//`` /
-    ``opt//``). The reference only keeps best weights in memory
-    (gcn1.py:247-256); resumable training is a production necessity."""
-    path = _npz_path(path)
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    flat = {f"params{_SEP}{k}": v for k, v in _flatten(params).items()}
-    flat.update({f"opt{_SEP}{k}": v
-                 for k, v in _flatten(opt_state).items()})
+    iteration counter (+ the training rng, so stochastic layers resume
+    the same stream) in one npz with namespaced keys. The reference only
+    keeps best weights in memory (gcn1.py:247-256); resumable training
+    is a production necessity."""
+    flat = _flatten(params, f"params{_SEP}")
+    flat.update(_flatten(opt_state, f"opt{_SEP}"))
     flat["__iteration__"] = np.asarray(iteration, dtype=np.int64)
-    np.savez(path, **flat)
+    if rng is not None:
+        flat["__rng__"] = np.asarray(rng)
+    _atomic_savez(_npz_path(path), flat)
 
 
 def load_training_state(path: str, params_like: Any, opt_state_like: Any):
-    """-> (params, opt_state, iteration); shapes validated against the
-    ``*_like`` structures (e.g. init params + tx.init(params))."""
-    path = _npz_path(path)
-    with np.load(path) as f:
+    """-> (params, opt_state, iteration, rng_or_None); shapes validated
+    against the ``*_like`` structures (e.g. init params +
+    tx.init(params))."""
+    with np.load(_npz_path(path)) as f:
         stored = dict(f)
     it = int(stored.pop("__iteration__"))
-
-    def restore(like, prefix):
-        sub = {k[len(prefix):]: v for k, v in stored.items()
-               if k.startswith(prefix)}
-        leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(
-            like)
-        new = []
-        for path_elems, leaf in leaves_with_path:
-            key = _SEP.join(str(getattr(p, "key", getattr(p, "idx", p)))
-                            for p in path_elems)
-            if key not in sub:
-                raise KeyError(f"checkpoint missing {prefix}{key!r}")
-            arr = sub[key]
-            if arr.shape != np.shape(leaf):
-                raise ValueError(
-                    f"checkpoint shape mismatch for {prefix}{key!r}: "
-                    f"{arr.shape} vs {np.shape(leaf)}")
-            new.append(arr.astype(np.asarray(leaf).dtype))
-        return jax.tree_util.tree_unflatten(treedef, new)
-
-    return (restore(params_like, f"params{_SEP}"),
-            restore(opt_state_like, f"opt{_SEP}"), it)
+    rng = stored.pop("__rng__", None)
+    if rng is not None:
+        rng = jax.numpy.asarray(rng)
+    return (_restore(stored, params_like, f"params{_SEP}"),
+            _restore(stored, opt_state_like, f"opt{_SEP}"), it, rng)
 
 
 def snapshot(params):

@@ -189,11 +189,12 @@ def test_predict_fresh_graph_runs_fit_pipeline(data):
 
 
 def test_fit_resume_matches_uninterrupted(data, tmp_path):
-    """fit 10 + save_state + resume 10 == one uninterrupted fit of 20
-    (same optimizer trajectory through the checkpoint)."""
+    """fit 10 + save_state + resume 10 == one uninterrupted fit of 20 —
+    WITH dropout: the checkpointed rng continues the exact stream, so
+    optimizer trajectory AND dropout masks match through the resume."""
     from gcn_tpu.models import GCN
 
-    kw = dict(variant="v1", seed=0, dropout=0.0)
+    kw = dict(variant="v1", seed=0, dropout=0.5)
     ref = GCN(data.num_features, 8, data.num_classes, **kw)
     ref.fit(data.features, data.adj, data.labels, data.idx_train,
             train_iters=20)
@@ -206,8 +207,10 @@ def test_fit_resume_matches_uninterrupted(data, tmp_path):
 
     m2 = GCN(data.num_features, 8, data.num_classes, **kw)
     m2.fit(data.features, data.adj, data.labels, data.idx_train,
-           train_iters=10, resume_from=path, initialize=False)
+           train_iters=10, resume_from=path)
     assert m2._iters_done == 20
+    # history iters continue from the checkpoint (global numbering)
+    assert [h["iter"] for h in m2.history] == list(range(10, 20))
     np.testing.assert_allclose(np.asarray(m2.output),
                                np.asarray(ref.output), rtol=2e-4,
                                atol=2e-5)

@@ -111,8 +111,8 @@ def test_training_state_checkpoint_resume(tmp_path, rng):
     p1, o1 = step(params, opt)
     path = str(tmp_path / "state")
     save_training_state(path, p1, o1, 1)
-    p2, o2, it = load_training_state(path, params, tx.init(params))
-    assert it == 1
+    p2, o2, it, rng = load_training_state(path, params, tx.init(params))
+    assert it == 1 and rng is None
     for _ in range(2):
         p2, o2 = step(p2, o2)
     np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(p_ref["w"]),
