@@ -319,7 +319,7 @@ class GCN:
         self.opt_state = result.opt_state
         self._final_params = result.final_params
         self._final_rng = result.final_rng
-        self._iters_done += len(result.history)
+        self._iters_done += result.iters_run
         lp = result.log_probs
         if self.perm is not None:
             # back to original vertex order — ON DEVICE (a host round

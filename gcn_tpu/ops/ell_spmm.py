@@ -255,7 +255,7 @@ def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None,
     return out[:, :k] if k < k_pad else out
 
 
-def _ell_sddmm(cols, vals, win, g, x, r, n_rows):
+def _ell_sddmm(cols, vals, win, g, x, r, n_rows, chunks=None):
     """dvals[b, j, i] = <g[win[b]*r + i], x[cols[b, j, i]]>, 0 at padding.
 
     The scatter side of the forward layout read as a gather: each slot's
@@ -266,23 +266,35 @@ def _ell_sddmm(cols, vals, win, g, x, r, n_rows):
     is exactly 0.0 is indistinguishable from padding in this layout and
     also gets zero gradient (the coo path gives it the true cotangent);
     if you train adjacency weights through zero, use the coo
-    representation. Feature columns are processed in chunks to bound the
-    gathered intermediates.
+    representation (ell_adjacency warns when it sees explicit zeros).
+    Intermediates are bounded twice: feature columns in 128-wide chunks,
+    and blocks by the adjacency's row-chunk plan (``chunks``) — the same
+    plan that bounds the forward products buffer — so huge row-chunked
+    graphs with trainable adjacency values never materialize the full
+    (num_blocks*r, k) gather at once.
     """
     num_blocks, p, rr = cols.shape
     k = x.shape[1]
     nw = max(1, -(-n_rows // r))
     gpad = jnp.pad(g, ((0, nw * r - n_rows), (0, 0)))
-    dv = jnp.zeros((num_blocks, p, rr), dtype=jnp.float32)
-    for c in range(0, k, 128):
-        gblk = jnp.take(gpad[:, c:c + 128].reshape(nw, rr, -1), win,
-                        axis=0)                       # (B, r, kc)
-        for j in range(p):
-            xg = jnp.take(x[:, c:c + 128], cols[:, j, :].reshape(-1),
-                          axis=0).reshape(num_blocks, rr, -1)
-            dv = dv.at[:, j, :].add(
-                jnp.sum(gblk.astype(jnp.float32) * xg.astype(jnp.float32),
-                        axis=-1))
+    if chunks is None or len(chunks) <= 1:
+        chunks = ((0, num_blocks, 0, nw),)
+    parts = []
+    for bs, be, _, _ in chunks:
+        nb = be - bs
+        dv = jnp.zeros((nb, p, rr), dtype=jnp.float32)
+        for c in range(0, k, 128):
+            gblk = jnp.take(gpad[:, c:c + 128].reshape(nw, rr, -1),
+                            win[bs:be], axis=0)       # (nb, r, kc)
+            for j in range(p):
+                xg = jnp.take(x[:, c:c + 128],
+                              cols[bs:be, j, :].reshape(-1),
+                              axis=0).reshape(nb, rr, -1)
+                dv = dv.at[:, j, :].add(
+                    jnp.sum(gblk.astype(jnp.float32)
+                            * xg.astype(jnp.float32), axis=-1))
+        parts.append(dv)
+    dv = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return jnp.where(vals != 0, dv, 0.0).astype(vals.dtype)
 
 
@@ -309,7 +321,7 @@ def _spmm_ell_bwd(res, g):
                         adj.products_bf16, adj.t_spans, adj.table_bf16,
                         adj.span_pass_limit).astype(x.dtype)
     dvals = _ell_sddmm(adj.cols, adj.vals, adj.win, g, x, adj.r,
-                       adj.n_rows)
+                       adj.n_rows, adj.chunks)
 
     def _zt(a):
         return np.zeros(a.shape, dtype=jax.dtypes.float0)

@@ -34,10 +34,15 @@ def _try_load() -> Optional[ctypes.CDLL]:
             ["make", "-s", "-C", _CSRC],
             check=True, capture_output=True, timeout=600,
         )
-    except Exception:
+    except Exception as e:
         if not os.path.exists(_SO):
             _load_failed = True
             return None
+        import warnings
+
+        warnings.warn(
+            f"native reorder rebuild failed ({e!r}); loading the EXISTING "
+            f"{_SO} — it may be stale relative to the C++ sources")
     try:
         lib = ctypes.CDLL(_SO)
         lib.gcn_reorder.restype = ctypes.c_int

@@ -324,6 +324,18 @@ def ell_adjacency(
     if symmetric is None:
         symmetric = g.shape[0] == g.shape[1] and g.is_symmetric()
     n, m = g.shape
+    if g.nnz and (np.asarray(g.data) == 0).any():
+        # explicit zero-valued nnz are indistinguishable from padding in
+        # this layout: forward/dx are unaffected (0-weight edges contribute
+        # nothing) but the SDDMM edge-weight cotangent is silently zero at
+        # those slots — anyone training adjacency values through zero must
+        # use the coo representation (ops/spmm.py). See _ell_sddmm.
+        import warnings
+
+        warnings.warn(
+            "source CSR stores explicit zero-valued entries; their "
+            "edge-weight gradients through spmm_ell are zero (use the coo "
+            "path to train adjacency weights through 0.0)")
     cols, vals, win, off = _tile(g.indptr, g.indices, g.data, n, r, p,
                                  prefer_native)
     chunks = _chunk_plan(off, p, r, chunk_slots)

@@ -45,6 +45,11 @@ class TrainResult:
     opt_state: object = None  # final optimizer state (for resume)
     final_params: object = None  # last-iterate params (vs best snapshot)
     final_rng: object = None  # post-run rng (resume continues the stream)
+    # number of EXECUTED optimizer updates (== rng splits consumed):
+    # after early stopping this is < train_iters, and resume bookkeeping
+    # must use it — not len(history) — so the two loop flavors restart
+    # from identical (iteration, rng-stream) positions
+    iters_run: int = 0
 
 
 def fit_gcn(
@@ -176,7 +181,7 @@ def fit_gcn(
     return TrainResult(params=best_params, log_probs=best_lp, timers=timers,
                        history=history, best_iter=best_iter,
                        opt_state=opt_state, final_params=params,
-                       final_rng=rng)
+                       final_rng=rng, iters_run=len(history))
 
 
 def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
@@ -206,8 +211,17 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
         return val_metrics, train_step
 
     def body_fn(val_metrics, train_step, carry, it):
-        (p, o, r, best_p, best_loss, best_acc, best_it, pat, stop) = carry
-        r, step_rng = jax.random.split(r)
+        # ``it`` is the LOCAL loop index (matching the python flavor's
+        # ``i``); global iteration = start_iter + it, used only for
+        # best_iter records.
+        (p, o, r, best_p, best_loss, best_acc, best_it, pat, stop,
+         n_exec) = carry
+        # split only on executed iterations so a resumed run continues
+        # the rng stream from the same position in either loop flavor
+        r, step_rng = jax.lax.cond(
+            stop, lambda rr: (rr, rr),
+            lambda rr: tuple(jax.random.split(rr)), r)
+        n_exec = n_exec + jnp.where(stop, 0, 1).astype(n_exec.dtype)
 
         def run(_):
             p2, o2, loss = train_step(p, o, step_rng)
@@ -228,22 +242,26 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
                 best_loss = jnp.where(take, loss_val, best_loss)
                 best_p = jax.tree_util.tree_map(
                     lambda b, n: jnp.where(take, n, b), best_p, p2)
-                best_it = jnp.where(take, it, best_it)
+                best_it = jnp.where(take, start_iter + it, best_it)
                 take2 = jnp.logical_and(jnp.logical_not(stop),
                                         acc_val > best_acc)
                 best_acc = jnp.where(take2, acc_val, best_acc)
                 best_p = jax.tree_util.tree_map(
                     lambda b, n: jnp.where(take2, n, b), best_p, p2)
-                best_it = jnp.where(take2, it, best_it)
+                best_it = jnp.where(take2, start_iter + it, best_it)
             else:  # early_stop: patience on val loss (gcn1.py:277-292)
                 improved = jnp.logical_and(jnp.logical_not(stop),
                                            loss_val < best_loss)
                 best_loss = jnp.where(improved, loss_val, best_loss)
                 best_p = jax.tree_util.tree_map(
                     lambda b, n: jnp.where(improved, n, b), best_p, p2)
-                best_it = jnp.where(improved, it, best_it)
+                best_it = jnp.where(improved, start_iter + it, best_it)
                 pat = jnp.where(improved, patience,
                                 jnp.where(stop, pat, pat - 1))
+                # warmup guard on the LOCAL index, exactly like the
+                # python flavor's ``i > patience`` (after resume with
+                # start_iter > patience a global-index guard would fire
+                # immediately and the two flavors would diverge)
                 stop = jnp.logical_or(
                     stop, jnp.logical_and(it > patience, pat <= 0))
         else:
@@ -251,35 +269,33 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
 
         out = (loss, loss_val, acc_val)
         return (p2, o2, r, best_p, best_loss, best_acc, best_it, pat,
-                stop), out
+                stop, n_exec), out
 
     carry0 = (params, opt_state, rng, params, jnp.float32(jnp.inf),
               jnp.float32(-jnp.inf), jnp.int32(-1), jnp.int32(patience),
-              jnp.bool_(False))
+              jnp.bool_(False), jnp.int32(0))
 
     @jax.jit
     def run_all(c0, fd, yl, idx_tr, idx_v):
         val_metrics, train_step = body_args(fd, yl, idx_tr, idx_v)
         body = functools.partial(body_fn, val_metrics, train_step)
-        return jax.lax.scan(body, c0,
-                            start_iter + jnp.arange(train_iters))
+        return jax.lax.scan(body, c0, jnp.arange(train_iters))
 
     with timers("fit_scan").d as t:
         carry, (losses, losses_val, accs_val) = run_all(
             carry0, forward_data, labels, idx_train, idx_val_a)
         t.fence(losses)
     (p_fin, o_fin, r_fin, best_p, best_loss, _, best_it, _,
-     stopped) = carry
+     stopped, n_exec) = carry
 
     losses = np.asarray(losses)
+    n_exec = int(n_exec)  # executed updates (< train_iters if stopped)
     history = []
-    for i in range(train_iters):
+    for i in range(n_exec):
         rec = {"iter": start_iter + i, "loss_train": float(losses[i])}
         if track_val:
             rec["loss_val"] = float(np.asarray(losses_val)[i])
             rec["acc_val"] = float(np.asarray(accs_val)[i])
-        if np.isnan(rec["loss_train"]):  # early-stopped tail
-            break
         history.append(rec)
         if verbose and i % 10 == 0:
             msg = f"Epoch {i:4d}, training loss: {rec['loss_train']:.6f}"
@@ -297,4 +313,4 @@ def _fit_scanned(params, opt_state, train_step_a, eval_step_a, labels,
     return TrainResult(params=best_p, log_probs=best_lp, timers=timers,
                        history=history, best_iter=int(best_it),
                        opt_state=o_fin, final_params=p_fin,
-                       final_rng=r_fin)
+                       final_rng=r_fin, iters_run=n_exec)
