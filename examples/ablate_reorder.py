@@ -32,6 +32,7 @@ def measure(g, method, deg_sort, shards, k):
 
     from gcn_tpu.ops.ell_spmm import spmm_ell
     from gcn_tpu.parallel import (band_degree_sort_order, build_halo_plan,
+                                  build_halo_plan_ragged,
                                   shard_graph_by_rows)
     from gcn_tpu.parallel.partition import rows_per_shard_for
     from gcn_tpu.reorder import reorder_graph
@@ -46,6 +47,7 @@ def measure(g, method, deg_sort, shards, k):
     adj = ell_adjacency(g2, symmetric=True)
     sg = shard_graph_by_rows(g2, shards)
     plan = build_halo_plan(sg)
+    plan_ragged = build_halo_plan_ragged(sg)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (g2.shape[0], k)).astype(np.float32) * 0.01)
@@ -63,7 +65,8 @@ def measure(g, method, deg_sort, shards, k):
         "pad_fraction": round(adj.pad_fraction, 4),
         "spmm_ms": round(best * 1e3, 3),
         "boundary_fraction": round(sg.boundary_fraction(), 4),
-        "halo_exchange_fraction": round(plan.exchange_fraction, 4),
+        "halo_exchange_fraction": round(plan_ragged.exchange_fraction, 4),
+        "halo_exchange_fraction_padded": round(plan.exchange_fraction, 4),
     }
 
 

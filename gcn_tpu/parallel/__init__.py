@@ -1,4 +1,6 @@
-from gcn_tpu.parallel.halo import HaloPlan, build_halo_plan, dist_spmm_halo
+from gcn_tpu.parallel.halo import (HaloPlan, RaggedHaloPlan,
+                                   build_halo_plan, build_halo_plan_ragged,
+                                   dist_spmm_halo, make_halo_exchange)
 from gcn_tpu.parallel.mesh import create_mesh, create_mesh_2d
 from gcn_tpu.parallel.partition import (ShardedGraph,
                                         band_degree_sort_order,
@@ -7,11 +9,14 @@ from gcn_tpu.parallel.train_step import make_sharded_gcn_train_step
 
 __all__ = [
     "HaloPlan",
+    "RaggedHaloPlan",
     "band_degree_sort_order",
     "build_halo_plan",
+    "build_halo_plan_ragged",
     "create_mesh",
     "create_mesh_2d",
     "dist_spmm_halo",
+    "make_halo_exchange",
     "ShardedGraph",
     "shard_graph_by_rows",
     "make_sharded_gcn_train_step",

@@ -24,6 +24,22 @@ exchange bytes are n_shards*H*k*4 versus n*k*4 for the all-gather;
 ``HaloPlan.exchange_fraction`` reports the ratio. Differentiating through
 the step works out of the box: the transpose of all_to_all is all_to_all
 and the transpose of the send-gather is a scatter-add back onto the band.
+
+Ragged plan (the default, ``build_halo_plan_ragged``): the all_to_all pads
+every pair to the GLOBAL max boundary, which on 8-shard arxiv inflates the
+exchange to 0.39 (rabbit) – 0.97 (gorder3) of the full row count. The
+ragged plan decomposes the exchange into ns-1 ``ppermute`` ring shifts —
+at offset t every device s ships its boundary for device (s+t)%ns — so
+each offset carries its own static payload H_t = max over the pairs AT
+THAT OFFSET only. Measured on 8-shard synth-arxiv (rabbit + band degree
+sort): exchanged rows/device drop 66,176 -> 53,880 (0.318 of full rows),
+within 1.06x of the true mean unique-boundary volume (50,960). For
+dst-skewed orderings (gorder3: one band needs ~20k rows from every peer)
+the per-offset sum is within 0.5% of the row-sum lower bound that ANY
+static-shape permutation decomposition must pay — i.e. this is as ragged
+as TPU collectives get without dynamic shapes. Empty offsets compile to
+nothing; the collectives are mutually independent so XLA may overlap
+them, and ppermute transposes to ppermute under AD.
 """
 
 from __future__ import annotations
@@ -59,6 +75,120 @@ class HaloPlan:
     def exchange_fraction(self) -> float:
         """Per-device exchanged rows vs the all-gather's full row count."""
         return self.n_shards * self.h_max / max(self.n_rows, 1)
+
+    @property
+    def halo_rows(self) -> int:
+        """Height of the received-halo region of the gather table."""
+        return self.n_shards * self.h_max
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["send_idx", "col_remap"],
+    meta_fields=["sizes", "n_shards", "n_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class RaggedHaloPlan:
+    """Per-ring-offset exchange plan (see module docstring).
+
+    send_idx  int32[src, sum(sizes)]  per SOURCE device: concatenation
+              over nonzero offsets t of the local rows it ships to device
+              (src+t)%ns, each segment padded to sizes[t-1]
+    col_remap int32[dst, e_max]       per edge: flat index into
+              concat(zeros(8), halo segments in offset order, own band);
+              the leading 8-row zero segment is where padding edges
+              (val 0) point, so they always gather zeros
+    sizes     static per-offset payload heights (t = 1..ns-1), each the
+              max boundary over the pairs at that offset, rounded to 8;
+              0 = no pair at the offset needs anything (no collective)
+    """
+
+    send_idx: jnp.ndarray
+    col_remap: jnp.ndarray
+    sizes: tuple
+    n_shards: int
+    n_rows: int
+
+    @property
+    def halo_rows(self) -> int:
+        return 8 + sum(self.sizes)
+
+    @property
+    def exchange_fraction(self) -> float:
+        """Per-device exchanged rows vs the all-gather's full row count."""
+        return sum(self.sizes) / max(self.n_rows, 1)
+
+
+def _pair_boundaries(sg: ShardedGraph):
+    """needed[d, s] = sorted unique local ids on shard s that shard d's
+    edges reference (s != d)."""
+    ns, rps = sg.n_shards, sg.rows_per_shard
+    cols = np.asarray(sg.cols)
+    vals = np.asarray(sg.vals)
+    needed = {}
+    for d in range(ns):
+        real = vals[d] != 0
+        src = cols[d] // rps
+        lid = cols[d] % rps
+        for s in range(ns):
+            if s != d:
+                needed[d, s] = np.unique(lid[real & (src == s)])
+    return needed
+
+
+def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
+    """Per-offset boundary-exchange plan from a row-banded graph."""
+    ns, rps = sg.n_shards, sg.rows_per_shard
+    cols = np.asarray(sg.cols)
+    vals = np.asarray(sg.vals)
+    e_max = cols.shape[1]
+    needed = _pair_boundaries(sg)
+
+    sizes = []
+    for t in range(1, ns):
+        h = max((len(needed[(s + t) % ns, s]) for s in range(ns)),
+                default=0)
+        sizes.append(_round_up(h, 8) if h else 0)
+    sizes = tuple(sizes)
+    # receive-segment base offset per t (0-keyed entries never looked up)
+    base = {}
+    off = 8  # leading zero segment (padding-edge target)
+    for t in range(1, ns):
+        base[t] = off
+        off += sizes[t - 1]
+
+    send_idx = np.zeros((ns, sum(sizes)), dtype=np.int32)
+    col_remap = np.zeros((ns, e_max), dtype=np.int32)
+    for s in range(ns):
+        o = 0
+        for t in range(1, ns):
+            if sizes[t - 1] == 0:
+                continue
+            u = needed[(s + t) % ns, s]
+            send_idx[s, o:o + len(u)] = u
+            o += sizes[t - 1]
+    for d in range(ns):
+        src = cols[d] // rps
+        lid = cols[d] % rps
+        real = vals[d] != 0
+        for s in range(ns):
+            sel = src == s
+            if s == d:
+                col_remap[d, sel & real] = off + lid[sel & real]
+                continue
+            t = (d - s) % ns
+            u = needed[d, s]
+            pos = np.searchsorted(u, lid[sel])
+            pos = np.minimum(pos, max(len(u) - 1, 0))
+            if len(u):
+                ok = u[pos[real[sel]]] == lid[sel][real[sel]]
+                assert ok.all(), "halo plan missed a referenced boundary row"
+            col_remap[d, sel & real] = base[t] + pos[real[sel]]
+            # padding edges keep col_remap 0 -> the zero segment
+    return RaggedHaloPlan(
+        send_idx=jnp.asarray(send_idx), col_remap=jnp.asarray(col_remap),
+        sizes=sizes, n_shards=ns, n_rows=sg.n_rows,
+    )
 
 
 def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
@@ -109,27 +239,57 @@ def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
     )
 
 
+def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
+                          axis_name):
+    """Per-offset ppermute exchange -> (8 + sum(sizes), k) halo table.
+
+    The leading 8 rows are zeros (padding-edge target). One gather covers
+    every send segment; the per-offset ring shifts are independent, so
+    XLA is free to overlap them (and, in the overlap variants, to run
+    them behind the interior aggregation)."""
+    send_idx, _ = plan_arrays
+    send_idx = send_idx.reshape(-1)            # (sum(sizes),)
+    k = x_band.shape[1]
+    rows = jnp.take(x_band, send_idx, axis=0)
+    parts = [jnp.zeros((8, k), x_band.dtype)]
+    off = 0
+    for t, h in enumerate(sizes, start=1):
+        if h == 0:
+            continue
+        perm = [(s, (s + t) % n_shards) for s in range(n_shards)]
+        parts.append(jax.lax.ppermute(rows[off:off + h], axis_name, perm))
+        off += h
+    return jnp.concatenate(parts, axis=0)
+
+
+def make_halo_exchange(plan):
+    """exchange(plan_arrays, x_band, axis_name) -> halo rows, for either
+    plan flavor (static metadata rides the closure; arrays stay jit
+    arguments)."""
+    if isinstance(plan, RaggedHaloPlan):
+        return partial(_exchange_halo_ragged, plan.sizes, plan.n_shards)
+    return _exchange_halo
+
+
 def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
-                   rows_per_shard: int, axis_name: str = "data"
-                   ) -> jnp.ndarray:
+                   rows_per_shard: int, axis_name: str = "data",
+                   exchange=None) -> jnp.ndarray:
     """SpMM of the local row band with boundary-only exchange.
 
     Must be called inside shard_map over ``axis_name``. shard_arrays is the
     per-device (rows_local, cols_unused, vals); plan_arrays the per-device
-    (send_idx (1, ns, H) or (ns, H), col_remap (1, e_max) or (e_max,)).
+    (send_idx, col_remap) with an optional leading length-1 shard axis.
+    ``exchange`` is a ``make_halo_exchange`` closure (defaults to the
+    padded all_to_all for HaloPlan-shaped arrays).
     """
     rows_local, _, vals = shard_arrays
     rows_local = rows_local.reshape(-1)
     vals = vals.reshape(-1)
     send_idx, col_remap = plan_arrays
-    ns_h = tuple(send_idx.shape[-2:])
-    send_idx = send_idx.reshape(ns_h)          # (n_shards, H)
     col_remap = col_remap.reshape(-1)          # (e_max,)
 
-    send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
-    send = send.reshape(ns_h + (x_band.shape[1],))
-    recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
-    halo = recv.reshape(ns_h[0] * ns_h[1], x_band.shape[1])
+    halo = (exchange or _exchange_halo)((send_idx, col_remap), x_band,
+                                        axis_name)
     table = jnp.concatenate([halo, x_band], axis=0)
 
     gathered = jnp.take(table, col_remap, axis=0) * vals[:, None].astype(
@@ -166,7 +326,7 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
     from gcn_tpu.tile.ell import EllAdj, ell_adjacency
 
     ns, rps = sg.n_shards, sg.rows_per_shard
-    halo_cols = ns * plan.h_max
+    halo_cols = plan.halo_rows
     if part == "all":
         t_cols = halo_cols + rps
     elif part == "interior":
@@ -249,33 +409,35 @@ def _exchange_halo(plan_arrays, x_band, axis_name):
 
 
 def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,
-                       axis_name: str = "data") -> jnp.ndarray:
+                       axis_name: str = "data",
+                       exchange=None) -> jnp.ndarray:
     """Pallas-ELL SpMM of the local band with boundary-only exchange.
 
     Must be called inside shard_map; ell_shard is the per-device EllAdj
-    (already unstacked), plan_arrays as in dist_spmm_halo."""
+    (already unstacked), plan_arrays / exchange as in dist_spmm_halo."""
     from gcn_tpu.ops.ell_spmm import spmm_ell
 
-    halo = _exchange_halo(plan_arrays, x_band, axis_name)
+    halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name)
     table = jnp.concatenate([halo, x_band], axis=0)
     return spmm_ell(ell_shard, table)
 
 
 def dist_spmm_halo_ell_overlap(ell_interior, ell_boundary, plan_arrays,
                                x_band: jnp.ndarray,
-                               axis_name: str = "data") -> jnp.ndarray:
+                               axis_name: str = "data",
+                               exchange=None) -> jnp.ndarray:
     """Overlapped variant: interior aggregation has no data dependency on
-    the all_to_all, so XLA's async-collective scheduler can run the
-    exchange behind it (the halo-overlap BASELINE.md calls for):
+    the exchange collectives, so XLA's async-collective scheduler can run
+    them behind it (the halo-overlap BASELINE.md calls for):
 
-        halo     = all_to_all(boundary rows)      # async on TPU
+        halo     = exchange(boundary rows)        # async on TPU
         interior = A_int  @ x_band                # overlaps the exchange
         boundary = A_bnd  @ halo
         out      = interior + boundary
     """
     from gcn_tpu.ops.ell_spmm import spmm_ell
 
-    halo = _exchange_halo(plan_arrays, x_band, axis_name)
+    halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name)
     interior = spmm_ell(ell_interior, x_band)
     boundary = spmm_ell(ell_boundary, halo)
     return interior + boundary

@@ -12,8 +12,11 @@ is explicit:
     all_gather -> psum_scatter)
 
 Knobs:
-  exchange="halo"        one all_to_all of just the boundary rows
-                         (gcn_tpu.parallel.halo) — the default
+  exchange="halo"        per-ring-offset ppermutes of just the boundary
+                         rows, each offset at its own static payload
+                         (gcn_tpu.parallel.halo ragged plan) — the default
+  exchange="halo_padded" one all_to_all padded to the global max pair
+                         boundary (the round-2 plan; kept for ablation)
   exchange="all_gather"  full-activation gather (simple baseline)
   kernel="ell"           per-shard aggregation through the packed-ELL
                          SpMM (gcn_tpu.ops.ell_spmm); requires halo —
@@ -77,27 +80,32 @@ def make_sharded_gcn_train_step(
     psums back to full class columns. Requires nfeat and nhid divisible
     by the model-axis size. Composes with every exchange/kernel knob.
     """
-    assert exchange in ("halo", "all_gather")
+    assert exchange in ("halo", "halo_padded", "all_gather")
     if kernel is None:
         # flagship default: packed-ELL + overlapped halo; the all_gather
         # baseline keeps the portable segment-sum
-        kernel = "ell" if exchange == "halo" else "segsum"
+        kernel = "segsum" if exchange == "all_gather" else "ell"
     assert kernel in ("segsum", "ell")
     rps = sg.rows_per_shard
+    halo_like = exchange in ("halo", "halo_padded")
 
     # --- aggregation strategy -------------------------------------------
-    if exchange == "halo":
-        from gcn_tpu.parallel.halo import build_halo_plan
+    if halo_like:
+        from gcn_tpu.parallel.halo import (build_halo_plan,
+                                           build_halo_plan_ragged,
+                                           make_halo_exchange)
 
-        plan = build_halo_plan(sg)
+        plan = (build_halo_plan_ragged(sg) if exchange == "halo"
+                else build_halo_plan(sg))
+        ex_fn = make_halo_exchange(plan)
         plan_dev = (plan.send_idx, plan.col_remap)
     else:
-        plan = None
+        plan = ex_fn = None
         plan_dev = (jnp.zeros((sg.n_shards, 1, 1), jnp.int32),
                     jnp.zeros((sg.n_shards, 1), jnp.int32))
 
     if kernel == "ell":
-        assert exchange == "halo", "kernel='ell' requires exchange='halo'"
+        assert halo_like, "kernel='ell' requires a halo exchange"
         from gcn_tpu.parallel.halo import (build_sharded_ell,
                                            dist_spmm_halo_ell,
                                            dist_spmm_halo_ell_overlap,
@@ -111,7 +119,7 @@ def make_sharded_gcn_train_step(
                 e_int, e_bnd = extra_shard
                 return dist_spmm_halo_ell_overlap(
                     unstack_ell_shard(e_int), unstack_ell_shard(e_bnd),
-                    plan_shard, h, axis)
+                    plan_shard, h, axis, exchange=ex_fn)
 
             extra_dev = (ell_int, ell_bnd)
         else:
@@ -119,14 +127,16 @@ def make_sharded_gcn_train_step(
 
             def band_spmm(extra_shard, plan_shard, h):
                 return dist_spmm_halo_ell(unstack_ell_shard(extra_shard),
-                                          plan_shard, h, axis)
+                                          plan_shard, h, axis,
+                                          exchange=ex_fn)
 
             extra_dev = ell_stacked
-    elif exchange == "halo":
+    elif halo_like:
         from gcn_tpu.parallel.halo import dist_spmm_halo
 
         def band_spmm(extra_shard, plan_shard, h):
-            return dist_spmm_halo(extra_shard, plan_shard, h, rps, axis)
+            return dist_spmm_halo(extra_shard, plan_shard, h, rps, axis,
+                                  exchange=ex_fn)
 
         extra_dev = None  # filled with the COO triple at call time
     else:

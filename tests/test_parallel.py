@@ -206,6 +206,90 @@ class TestHaloExchange:
                                    results["all_gather"][1],
                                    rtol=1e-3, atol=1e-4)
 
+    def test_ragged_plan_covers_all_real_edges(self, rng):
+        from gcn_tpu.parallel import (build_halo_plan_ragged,
+                                      shard_graph_by_rows)
+
+        g, x, labels, sg = self._setup(rng)
+        plan = build_halo_plan_ragged(sg)
+        send = np.asarray(plan.send_idx)
+        remap = np.asarray(plan.col_remap)
+        cols = np.asarray(sg.cols)
+        vals = np.asarray(sg.vals)
+        rps = sg.rows_per_shard
+        ns = sg.n_shards
+        # receive-segment base per offset t (mirrors the builder)
+        base, off = {}, 8
+        send_off = {}
+        so = 0
+        for t in range(1, ns):
+            base[t] = off
+            send_off[t] = so
+            off += plan.sizes[t - 1]
+            so += plan.sizes[t - 1]
+        assert off == plan.halo_rows
+        for d in range(ns):
+            real = vals[d] != 0
+            r = remap[d][real]
+            local = r >= plan.halo_rows
+            np.testing.assert_array_equal(
+                d * rps + (r[local] - plan.halo_rows),
+                cols[d][real][local])
+            # off-shard: walk back through the offset segment to the
+            # source device's send table
+            for rv, cv in zip(r[~local], cols[d][real][~local]):
+                t = next(t for t in range(1, ns)
+                         if base[t] <= rv < base[t] + plan.sizes[t - 1])
+                s = (d - t) % ns
+                pos = rv - base[t]
+                assert s * rps + send[s, send_off[t] + pos] == cv
+
+    def test_ragged_exchange_not_larger_than_padded(self, rng):
+        from gcn_tpu.parallel import (build_halo_plan,
+                                      build_halo_plan_ragged,
+                                      shard_graph_by_rows)
+
+        g, x, labels, sg = self._setup(rng)
+        padded = build_halo_plan(sg)
+        ragged = build_halo_plan_ragged(sg)
+        assert ragged.exchange_fraction <= padded.exchange_fraction + 1e-9
+
+    def test_halo_padded_matches_ragged_training(self, rng):
+        import jax
+
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.parallel import create_mesh, make_sharded_gcn_train_step
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        g, x, labels, sg = self._setup(rng)
+        mesh = create_mesh(4)
+        tx = adam_l2(0.01, 5e-4)
+        mask = np.ones(g.shape[0], np.float32)
+        results = {}
+        for exchange in ("halo", "halo_padded"):
+            params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+            step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                mesh, sg, tx, dropout=0.0, exchange=exchange)
+            adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                       pad_rows(labels, sg),
+                                       pad_rows(mask, sg))
+            opt_state = tx.init(params)
+            losses = []
+            for _ in range(3):
+                params, opt_state, loss = step(params, opt_state,
+                                               jax.random.PRNGKey(7), adj,
+                                               xs, ys, ms)
+                losses.append(float(loss))
+            results[exchange] = (losses,
+                                 np.asarray(eval_fn(params, adj, xs)))
+        np.testing.assert_allclose(results["halo"][0],
+                                   results["halo_padded"][0],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(results["halo"][1],
+                                   results["halo_padded"][1],
+                                   rtol=1e-3, atol=1e-4)
+
     def test_exchange_fraction_small_for_banded_graph(self, rng):
         from gcn_tpu.graph.csr import coo_to_csr
         from gcn_tpu.graph.normalize import gcn_normalize
