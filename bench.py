@@ -5,10 +5,12 @@ synthetic power-law graph (n=169343, ~2.3M directed edges after
 symmetrization) at feature width k=32, after Rabbit reordering + degree
 sort (the v6 pipeline), with the fully-grouped-XLA pass reduce — the
 serving configuration (EllAdj.span_pass_limit=0; forward-only programs
-compile in ~30 s). The training default (span_pass_limit=16, which trades
-~9% SpMM for 10x faster vjp+scan compiles) is reported alongside as
-ell_ms_train_default; both are first-class shipped configurations
-(ops/ell_spmm.py, tile/ell.py).
+compile in ~30 s). The training default (span_pass_limit=16 WITH hub-row
+splitting — hub rows refined into <=16-pass virtual chunks + prefix
+epilogue, so the whole matrix takes the fused grouped reduce; measured
+within ~2% of serving where the round-2 merged-Pallas hub region
+conceded ~9%) is reported alongside as ell_ms_train_default; both are
+first-class shipped configurations (ops/ell_spmm.py, tile/ell.py).
 
 vs_baseline: speedup over the XLA-native COO gather+segment-sum SpMM — the
 cuSPARSE-equivalent vendor path this framework's kernel replaces

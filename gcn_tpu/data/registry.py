@@ -56,6 +56,10 @@ _SYNTH_SPECS = {
     "synth-arxiv":  (169343, 40, 13.7, 128, True),
     "synth-reddit": (232965, 41, 50.0, 602, True),
     "synth-yelp":   (716847, 100, 19.5, 300, True),
+    # amazon-size vertex count (the reference roster's largest graph,
+    # profiling_gcn.py:82-83) at a container-feasible degree — exercises
+    # the >1M-row gather regime the frequency-split table targets
+    "synth-amazon": (1569960, 107, 10.0, 200, True),
 }
 
 

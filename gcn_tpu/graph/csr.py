@@ -128,14 +128,37 @@ class CSRGraph:
         return g
 
     def with_self_loops(self, fill: float = 1.0) -> "CSRGraph":
-        """A := A + fill*I (used by GCN normalization)."""
+        """A := A + fill*I (used by GCN normalization).
+
+        CSR-native: existing diagonal entries are bumped in place and
+        missing ones inserted at their sorted position — no global
+        (row, col) re-sort. At yelp scale this is ~0.3 s where the COO
+        rebuild's lexsort cost ~7 s (round-3 preprocessing work).
+        """
         assert self.shape[0] == self.shape[1]
-        r, c, v = self.to_coo()
-        diag = np.arange(self.shape[0], dtype=np.int32)
-        rows = np.concatenate([r, diag])
-        cols = np.concatenate([c, diag])
-        vals = np.concatenate([v, np.full(self.shape[0], fill, np.float32)])
-        return coo_to_csr(rows, cols, vals, self.shape)
+        n = self.shape[0]
+        rows = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(self.indptr))
+        is_diag = self.indices == rows
+        has_diag = np.zeros(n, dtype=bool)
+        has_diag[rows[is_diag]] = True
+        if has_diag.all():
+            data = self.data.copy()
+            data[is_diag] += np.float32(fill)
+            return CSRGraph(self.indptr, self.indices, data, self.shape)
+        data = self.data.copy()
+        data[is_diag] += np.float32(fill)
+        # rows lacking a diagonal: insert at the in-row sorted position =
+        # row start + (# entries with col < row)
+        need = np.flatnonzero(~has_diag)
+        less = np.bincount(rows[self.indices < rows], minlength=n)
+        pos = self.indptr[need].astype(np.int64) + less[need]
+        indices = np.insert(self.indices, pos, need.astype(np.int32))
+        data = np.insert(data, pos, np.float32(fill))
+        add = np.zeros(n + 1, dtype=np.int64)
+        add[1:] = np.cumsum(~has_diag)
+        indptr = self.indptr.astype(np.int64) + add
+        return CSRGraph(indptr, indices, data, self.shape)
 
     def eliminate_zeros(self) -> "CSRGraph":
         r, c, v = self.to_coo()
@@ -153,6 +176,13 @@ class CSRGraph:
         """
         p = np.asarray(perm_new_to_old, dtype=np.int64)
         assert self.shape[0] == self.shape[1] == p.shape[0]
+        # native fast path: O(nnz) row gather + per-row sorts — the numpy
+        # COO route below pays a global (row, col) lexsort (~30 s at yelp
+        # scale vs ~2 s native). Lazy import: reorder depends on graph.
+        from gcn_tpu.reorder import native as _reorder_native
+
+        if _reorder_native.available():
+            return _reorder_native.csr_permute(self, p)
         inv = np.empty_like(p)
         inv[p] = np.arange(p.shape[0])  # inv[old] = new
         r, c, v = self.to_coo()

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from gcn_tpu.graph.csr import CSRGraph, coo_to_csr
+from gcn_tpu.graph.csr import CSRGraph
 
 
 def _has_nonzero_diag_head(g: CSRGraph) -> bool:
@@ -37,14 +37,17 @@ def gcn_normalize(g: CSRGraph, *, add_self_loops: bool | None = None) -> CSRGrap
         add_self_loops = not _has_nonzero_diag_head(g)
     if add_self_loops:
         g = g.with_self_loops()
-    rowsum = np.zeros(g.shape[0], dtype=np.float64)
-    r, c, v = g.to_coo()
-    np.add.at(rowsum, r, v.astype(np.float64))
+    # scaling never moves entries: keep the CSR structure, skip the
+    # COO round-trip + re-sort (was ~14 s at yelp scale)
+    r = np.repeat(np.arange(g.shape[0], dtype=np.int64),
+                  np.diff(g.indptr))
+    v = g.data.astype(np.float64)
+    rowsum = np.bincount(r, weights=v, minlength=g.shape[0])
     with np.errstate(divide="ignore"):
         d_inv_sqrt = np.power(rowsum, -0.5)
     d_inv_sqrt[~np.isfinite(d_inv_sqrt)] = 0.0
-    vals = (d_inv_sqrt[r] * v.astype(np.float64) * d_inv_sqrt[c]).astype(np.float32)
-    return coo_to_csr(r, c, vals, g.shape, sum_duplicates=False)
+    vals = (d_inv_sqrt[r] * v * d_inv_sqrt[g.indices]).astype(np.float32)
+    return CSRGraph(g.indptr, g.indices, vals, g.shape)
 
 
 def row_normalize(g: CSRGraph, *, add_self_loops: bool | None = None) -> CSRGraph:
@@ -53,14 +56,15 @@ def row_normalize(g: CSRGraph, *, add_self_loops: bool | None = None) -> CSRGrap
         add_self_loops = not _has_nonzero_diag_head(g)
     if add_self_loops:
         g = g.with_self_loops()
-    rowsum = np.zeros(g.shape[0], dtype=np.float64)
-    r, c, v = g.to_coo()
-    np.add.at(rowsum, r, v.astype(np.float64))
+    r = np.repeat(np.arange(g.shape[0], dtype=np.int64),
+                  np.diff(g.indptr))
+    v = g.data.astype(np.float64)
+    rowsum = np.bincount(r, weights=v, minlength=g.shape[0])
     with np.errstate(divide="ignore"):
         d_inv = 1.0 / rowsum
     d_inv[~np.isfinite(d_inv)] = 0.0
-    vals = (d_inv[r] * v.astype(np.float64)).astype(np.float32)
-    return coo_to_csr(r, c, vals, g.shape, sum_duplicates=False)
+    vals = (d_inv[r] * v).astype(np.float32)
+    return CSRGraph(g.indptr, g.indices, vals, g.shape)
 
 
 def row_normalize_features(x: np.ndarray) -> np.ndarray:

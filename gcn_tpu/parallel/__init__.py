@@ -5,7 +5,8 @@ from gcn_tpu.parallel.mesh import create_mesh, create_mesh_2d
 from gcn_tpu.parallel.partition import (ShardedGraph,
                                         band_degree_sort_order,
                                         shard_graph_by_rows)
-from gcn_tpu.parallel.train_step import make_sharded_gcn_train_step
+from gcn_tpu.parallel.train_step import (make_sharded_gcn_train_step,
+                                         pad_model_params)
 
 __all__ = [
     "HaloPlan",
@@ -20,4 +21,5 @@ __all__ = [
     "ShardedGraph",
     "shard_graph_by_rows",
     "make_sharded_gcn_train_step",
+    "pad_model_params",
 ]

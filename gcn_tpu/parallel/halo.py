@@ -351,9 +351,13 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
             np.asarray(sg.rows_local[d])[real],
             cols_d[real],
             vals[real], (rps, t_cols))
+        # hub_split=False: per-shard virtual row spaces would differ and
+        # cannot stack on the shard axis; band hubs keep the merged
+        # Pallas region instead
         shards.append(ell_adjacency(g_local, r=r, k_pad=k_pad,
                                     symmetric=False,
-                                    products_bf16=products_bf16))
+                                    products_bf16=products_bf16,
+                                    hub_split=False))
 
     def _stack(field, pad_win_field=None):
         arrs = [getattr(a, field) for a in shards]

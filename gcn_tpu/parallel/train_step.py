@@ -51,6 +51,35 @@ def _shard_specs_like(tree, axis):
         lambda leaf: P(axis, *([None] * (leaf.ndim - 1))), tree)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pad_model_params(params, model_axis_size: int):
+    """Zero-pad GCN params so nfeat and nhid divide the model-axis size.
+
+    The padded entries stay EXACTLY zero through training — padded x
+    columns are zero so dw1-pad-row grads vanish; padded hidden units see
+    zero pre-activations (b1 pad zero) and zero w2 rows, so their entire
+    gradient chain is zero, and the multiplicative weight decay keeps
+    zeros at zero — hence the padded model is numerically identical to
+    the unpadded one. Pair with shard_fn, which pads x's feature columns
+    to the same multiple. Call once before training on a 2-D mesh whose
+    model axis does not divide nfeat/nhid.
+    """
+    m = model_axis_size
+    gc1 = dict(params["gc1"])
+    gc2 = dict(params["gc2"])
+    w1, w2 = jnp.asarray(gc1["w"]), jnp.asarray(gc2["w"])
+    f_pad = _round_up(w1.shape[0], m) - w1.shape[0]
+    h_pad = _round_up(w1.shape[1], m) - w1.shape[1]
+    gc1["w"] = jnp.pad(w1, ((0, f_pad), (0, h_pad)))
+    if gc1.get("b") is not None:
+        gc1["b"] = jnp.pad(jnp.asarray(gc1["b"]), ((0, h_pad),))
+    gc2["w"] = jnp.pad(w2, ((0, h_pad), (0, 0)))
+    return {"gc1": gc1, "gc2": gc2}
+
+
 def make_sharded_gcn_train_step(
     mesh: Mesh,
     sg: ShardedGraph,
@@ -77,8 +106,11 @@ def make_sharded_gcn_train_step(
     psum_scatters into hidden shards, the halo exchange + layer-1
     aggregation and the layer-2 SpMM run on the hidden SHARD (splitting
     the SpMM work across the model axis too), and W2's contraction
-    psums back to full class columns. Requires nfeat and nhid divisible
-    by the model-axis size. Composes with every exchange/kernel knob.
+    psums back to full class columns. nfeat and nhid must divide the
+    model-axis size — for widths that don't, run the params through
+    ``pad_model_params(params, m)`` once before training (shard_fn pads
+    x's columns to match; padding is numerically inert, see the helper's
+    docstring). Composes with every exchange/kernel knob.
     """
     assert exchange in ("halo", "halo_padded", "all_gather")
     if kernel is None:
@@ -251,6 +283,14 @@ def make_sharded_gcn_train_step(
         del adj  # the right structure is built here from sg/plan
         row_sharding = NamedSharding(mesh, P(axis))
         row2 = NamedSharding(mesh, x_spec)
+        x = jnp.asarray(x)
+        if model_axis is not None:
+            # zero-pad feature columns to the model-axis multiple (the
+            # matching zero-padded params come from pad_model_params)
+            m = mesh.shape[model_axis]
+            f_pad = _round_up(x.shape[1], m) - x.shape[1]
+            if f_pad:
+                x = jnp.pad(x, ((0, 0), (0, f_pad)))
         extra_sh = jax.tree_util.tree_map(
             lambda a, sp: jax.device_put(a, NamedSharding(mesh, sp)),
             extra, extra_spec)

@@ -259,7 +259,7 @@ void order_rabbit(const Csr& g, int32_t* perm, int32_t max_rounds = 64) {
       int32_t v = g.indices[e];
       if (v != u) a.emplace_back(v, g.data ? g.data[e] : 1.0);
     }
-    std::sort(a.begin(), a.end());
+    // CSR columns are already sorted; canonicalize no longer needs order
   }
 
   std::vector<int32_t> parent(n);
@@ -277,23 +277,29 @@ void order_rabbit(const Csr& g, int32_t* perm, int32_t max_rounds = 64) {
     return r;
   };
 
-  // canonicalize an adjacency list: remap to roots, drop self, merge dups
+  // canonicalize an adjacency list: remap to roots, drop self, merge dups.
+  // O(size) via a slot scratch array (first-seen order) — the sort-based
+  // dedup this replaces made canonicalize the dominant rabbit cost at
+  // 10M+ nnz (re-sorting large supervertices on every merge); nothing
+  // downstream depends on adjacency order, only on summed weights.
   std::vector<Nbr> tmp;
+  std::vector<int32_t> slot(n, -1);
   auto canonicalize = [&](std::vector<Nbr>& a, int32_t self) {
     tmp.clear();
     tmp.reserve(a.size());
     for (auto& [v0, w] : a) {
       int32_t v = find(v0);
-      if (v != self) tmp.emplace_back(v, w);
+      if (v == self) continue;
+      int32_t s = slot[v];
+      if (s < 0) {
+        slot[v] = static_cast<int32_t>(tmp.size());
+        tmp.emplace_back(v, w);
+      } else {
+        tmp[s].second += w;
+      }
     }
-    std::sort(tmp.begin(), tmp.end());
-    a.clear();
-    for (auto& [v, w] : tmp) {
-      if (!a.empty() && a.back().first == v)
-        a.back().second += w;
-      else
-        a.emplace_back(v, w);
-    }
+    for (auto& [v, w] : tmp) slot[v] = -1;
+    a.swap(tmp);
   };
 
   std::vector<int32_t> active(n);
@@ -322,8 +328,9 @@ void order_rabbit(const Csr& g, int32_t* perm, int32_t max_rounds = 64) {
       }
       int32_t small = u, big = best;
       if (adj[small].size() > adj[big].size()) std::swap(small, big);
-      // big absorbs small; u's dendrogram node hangs under the survivor
-      canonicalize(adj[small], small);
+      // big absorbs small; u's dendrogram node hangs under the survivor.
+      // (No pre-canonicalize of small: parent[small]=big is set below, so
+      // big's canonicalize remaps small's stale/self entries anyway.)
       adj[big].insert(adj[big].end(), adj[small].begin(), adj[small].end());
       adj[small].clear();
       adj[small].shrink_to_fit();
@@ -399,4 +406,62 @@ extern "C" int gcn_reorder(const char* method, const int32_t* indptr,
     seen[v] = 1;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Symmetric CSR permutation: out[i, j] = A[perm[i], perm[j]], columns sorted
+// ascending within each row. The native counterpart of the reference's
+// perm_apply (renumber.cu:233-318), replacing the numpy COO-lexsort path
+// whose global (row, col) sort cost ~30 s at yelp scale (13.5M nnz); this
+// is an O(nnz) row gather + per-row sorts, OpenMP-parallel over rows.
+// ---------------------------------------------------------------------------
+
+extern "C" int gcn_csr_permute(const int32_t* indptr, const int32_t* indices,
+                               const float* data, const int32_t* perm,
+                               int32_t n, int64_t nnz,
+                               int32_t* out_indptr, int32_t* out_indices,
+                               float* out_data) {
+  if (!indptr || !indices || !data || !perm || !out_indptr || !out_indices ||
+      !out_data || n < 0 || nnz < 0)
+    return 1;
+  std::vector<int32_t> inv(n);
+  std::vector<char> seen(n, 0);
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t o = perm[i];
+    if (o < 0 || o >= n || seen[o]) return 4;  // not a permutation
+    seen[o] = 1;
+    inv[o] = i;
+  }
+  out_indptr[0] = 0;
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t o = perm[i];
+    out_indptr[i + 1] = out_indptr[i] + (indptr[o + 1] - indptr[o]);
+  }
+  if (out_indptr[n] != nnz) return 5;
+
+  bool fail = false;
+#pragma omp parallel
+  {
+    std::vector<std::pair<int32_t, float>> row;
+#pragma omp for schedule(dynamic, 256)
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t o = perm[i];
+      int64_t s = indptr[o];
+      int64_t len = indptr[o + 1] - s;
+      row.resize(len);
+      for (int64_t j = 0; j < len; ++j) {
+        int32_t c = indices[s + j];
+        if (c < 0 || c >= n) { fail = true; break; }
+        row[j] = {inv[c], data[s + j]};
+      }
+      std::sort(row.begin(), row.end(),
+                [](const auto& a, const auto& b) { return a.first < b.first; });
+      int64_t d = out_indptr[i];
+      for (int64_t j = 0; j < len; ++j) {
+        out_indices[d + j] = row[j].first;
+        out_data[d + j] = row[j].second;
+      }
+    }
+  }
+  return fail ? 6 : 0;
 }

@@ -55,6 +55,14 @@ def _try_load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,                    # nnz
             ctypes.POINTER(ctypes.c_int32),    # perm_out [n]
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.gcn_csr_permute.restype = ctypes.c_int
+        lib.gcn_csr_permute.argtypes = [
+            i32p, i32p, f32p, i32p,            # indptr, indices, data, perm
+            ctypes.c_int32, ctypes.c_int64,    # n, nnz
+            i32p, i32p, f32p,                  # out indptr/indices/data
+        ]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -63,6 +71,37 @@ def _try_load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _try_load() is not None
+
+
+def csr_permute(g: CSRGraph, perm: np.ndarray) -> CSRGraph:
+    """Native symmetric permutation with sorted columns (perm[new]=old).
+
+    O(nnz) row gather + per-row sorts — replaces the numpy COO global
+    lexsort, the dominant preprocessing cost at >10M-nnz scale.
+    """
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("native reorder library unavailable")
+    n = g.shape[0]
+    assert g.shape[0] == g.shape[1]
+    indptr = np.ascontiguousarray(g.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(g.indices, dtype=np.int32)
+    data = np.ascontiguousarray(g.data, dtype=np.float32)
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    out_indptr = np.empty(n + 1, dtype=np.int32)
+    out_indices = np.empty(g.nnz, dtype=np.int32)
+    out_data = np.empty(g.nnz, dtype=np.float32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.gcn_csr_permute(
+        indptr.ctypes.data_as(i32p), indices.ctypes.data_as(i32p),
+        data.ctypes.data_as(f32p), perm.ctypes.data_as(i32p),
+        ctypes.c_int32(n), ctypes.c_int64(g.nnz),
+        out_indptr.ctypes.data_as(i32p), out_indices.ctypes.data_as(i32p),
+        out_data.ctypes.data_as(f32p))
+    if rc != 0:
+        raise RuntimeError(f"native csr_permute failed with code {rc}")
+    return CSRGraph(out_indptr, out_indices, out_data, g.shape)
 
 
 def compute_permutation(g: CSRGraph, method: str) -> np.ndarray:

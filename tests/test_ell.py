@@ -368,7 +368,10 @@ def test_hub_pallas_region(rng):
     g = coo_to_csr(src, dst, rng.random(880).astype(np.float32),
                    (n, n)).symmetrize(binarize=False)
     g = g.permute(degree_sort_order(g))
-    adj = ell_adjacency(g, r=8, k_pad=32)
+    # hub_split=False: this test pins the MERGED-PALLAS hub path, which
+    # still serves stacked per-shard adjacencies (build_sharded_ell) and
+    # non-prefix-hub graphs
+    adj = ell_adjacency(g, r=8, k_pad=32, hub_split=False)
     assert any(pw > adj.span_pass_limit for _, _, pw, _, _ in adj.spans), \
         "fixture must create at least one hub span"
 
@@ -403,3 +406,102 @@ def test_rectangular_matrix(rng):
     dx = np.asarray(vjp(ct)[0])
     ref_t = g.to_dense().astype(np.float64).T @ np.asarray(ct, np.float64)
     np.testing.assert_allclose(dx, ref_t, rtol=1e-5, atol=1e-5)
+
+
+def test_hub_split_matches_dense(rng):
+    """Hub-row splitting (the round-3 training default): rows above
+    span_pass_limit*P slots are refined into virtual chunks + prefix
+    epilogue; forward/backward must stay exact vs dense f64 and the
+    adjacency must report the split."""
+    n = 96
+    src = np.concatenate([
+        np.zeros(200, np.int64), np.ones(180, np.int64),
+        rng.integers(2, n, 500),
+    ])
+    dst = np.concatenate([
+        rng.permutation(n)[:90].repeat(3)[:200],
+        rng.integers(0, n, 180),
+        rng.integers(0, n, 500),
+    ])
+    g = coo_to_csr(src, dst, rng.random(880).astype(np.float32),
+                   (n, n)).symmetrize(binarize=False)
+    g = g.permute(degree_sort_order(g))
+    adj = ell_adjacency(g, r=8, k_pad=32)  # hub_split defaults on
+    assert adj.n_hub > 0 and adj.n_virt > n, "fixture must split rows"
+    assert all(pw <= adj.span_pass_limit for _, _, pw, _, _ in adj.spans)
+    adj.validate()
+
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    got = np.asarray(spmm_ell(adj, x))
+    want = g.to_dense().astype(np.float64) @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(got, want[:, :8], rtol=1e-5, atol=1e-5)
+    gx = jax.grad(lambda xx: jnp.sum(spmm_ell(adj, xx) ** 2))(x)
+    dense = jnp.asarray(g.to_dense())
+    wx = jax.grad(lambda xx: jnp.sum((dense @ xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(wx), rtol=1e-4,
+                               atol=1e-4)
+    # edge-weight cotangent parity vs the no-split layout
+    adj_n = ell_adjacency(g, r=8, k_pad=32, hub_split=False)
+    _, vjp_s = jax.vjp(lambda a: spmm_ell(a, x), adj)
+    _, vjp_n = jax.vjp(lambda a: spmm_ell(a, x), adj_n)
+    ct = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    dv_s = vjp_s(ct)[0].vals
+    dv_n = vjp_n(ct)[0].vals
+    np.testing.assert_allclose(float(jnp.sum(dv_s)), float(jnp.sum(dv_n)),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(jnp.sum(jnp.abs(dv_s))),
+                               float(jnp.sum(jnp.abs(dv_n))), rtol=1e-4)
+
+
+def test_hub_split_asymmetric_transpose(rng):
+    """Asymmetric matrix where forward rows split but the transpose's
+    hub rows are not a sorted prefix (no t-split): vjp must still match
+    dense."""
+    n, m = 96, 256
+    src = np.concatenate([np.zeros(300, np.int64),
+                          rng.integers(1, n, 400)])
+    dst = np.concatenate([rng.integers(0, m, 300),
+                          rng.integers(0, m, 400)])
+    # row 0 is the lone hub (deg ~300 > cap) and already a prefix;
+    # rectangular matrices cannot .permute()
+    g = coo_to_csr(src, dst, rng.random(700).astype(np.float32), (n, m))
+    adj = ell_adjacency(g, r=8, k_pad=32)
+    assert adj.n_hub > 0
+    adj.validate()
+    x = jnp.asarray(rng.standard_normal((m, 8)).astype(np.float32))
+    out = np.asarray(spmm_ell(adj, x))
+    ref = g.to_dense().astype(np.float64) @ np.asarray(x, np.float64)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    ct = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    _, vjp = jax.vjp(lambda xx: spmm_ell(adj, xx), x)
+    dx = np.asarray(vjp(ct)[0])
+    ref_t = g.to_dense().astype(np.float64).T @ np.asarray(ct, np.float64)
+    np.testing.assert_allclose(dx, ref_t, rtol=1e-5, atol=1e-5)
+
+
+def test_freq_split_matches_single_table(rng):
+    """Frequency-split (hot prefix + cold tail) SpMM == single-table
+    SpMM, forward and backward."""
+    from gcn_tpu.tile import ell_adjacency_freq, spmm_ell_freq
+
+    n = 384
+    src = np.concatenate([rng.integers(0, 40, 1200),   # hot columns
+                          rng.integers(0, n, 800)])
+    dst = np.concatenate([rng.integers(0, n, 1200),
+                          rng.integers(0, n, 800)])
+    g = coo_to_csr(dst, src, rng.random(2000).astype(np.float32),
+                   (n, n)).symmetrize(binarize=False)
+    g = g.permute(degree_sort_order(g))
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+    adj = ell_adjacency(g, r=16, k_pad=32, symmetric=True)
+    fs = ell_adjacency_freq(g, hot_rows=64, r=16, k_pad=32)
+    assert 0.0 < fs.hot_edge_fraction < 1.0
+    out = np.asarray(spmm_ell_freq(fs, x))
+    ref = np.asarray(spmm_ell(adj, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    gx_s = jax.grad(lambda xx: jnp.sum(spmm_ell_freq(fs, xx) ** 2))(x)
+    gx_r = jax.grad(lambda xx: jnp.sum(spmm_ell(adj, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)

@@ -123,3 +123,49 @@ def test_isolated_vertices_ok():
     norm = gcn_normalize(g)
     norm.validate()
     assert np.isfinite(norm.data).all()
+
+
+def test_with_self_loops_csr_native(rng):
+    """CSR-native self-loop insertion (no COO rebuild): mixed present /
+    missing diagonal entries, sorted columns preserved, values bumped."""
+    from gcn_tpu.graph.csr import coo_to_csr
+
+    n = 64
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    # force some diagonal entries
+    src[:10] = dst[:10] = np.arange(10)
+    g = coo_to_csr(src, dst, rng.random(400).astype(np.float32), (n, n))
+    out = g.with_self_loops(0.5)
+    want = g.to_dense() + 0.5 * np.eye(n, dtype=np.float32)
+    np.testing.assert_allclose(out.to_dense(), want, rtol=1e-6)
+    # columns stay sorted within each row
+    for i in range(n):
+        row = out.indices[out.indptr[i]:out.indptr[i + 1]]
+        assert (np.diff(row) > 0).all()
+
+
+def test_permute_native_matches_numpy(rng):
+    """Native csr_permute must equal the numpy COO-lexsort fallback."""
+    from gcn_tpu.graph.csr import coo_to_csr
+    from gcn_tpu.reorder import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native reorder lib unavailable")
+    n = 200
+    src = rng.integers(0, n, 1500)
+    dst = rng.integers(0, n, 1500)
+    g = coo_to_csr(src, dst, rng.random(1500).astype(np.float32), (n, n))
+    perm = rng.permutation(n).astype(np.int32)
+    got = native.csr_permute(g, perm)
+    # numpy reference (the in-method fallback path)
+    p = perm.astype(np.int64)
+    inv = np.empty_like(p)
+    inv[p] = np.arange(n)
+    r, c, v = g.to_coo()
+    want = coo_to_csr(inv[r], inv[c], v, (n, n), sum_duplicates=False)
+    np.testing.assert_array_equal(got.indptr, want.indptr)
+    np.testing.assert_array_equal(got.indices, want.indices)
+    np.testing.assert_allclose(got.data, want.data)

@@ -483,3 +483,63 @@ def test_2d_mesh_data_x_model_matches_unsharded(rng):
                              ys, ms)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_2d_mesh_indivisible_widths_pad(rng):
+    """nfeat=31, nhid=13 on a model axis of 2: pad_model_params +
+    shard_fn's column padding must train identically to the unpadded
+    model (padded entries stay exactly zero)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcn_tpu.data.synthetic import class_features, sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.models.gcn_core import gcn_forward, init_gcn_params
+    from gcn_tpu.ops.adjacency import device_adjacency
+    from gcn_tpu.parallel import (create_mesh_2d,
+                                  make_sharded_gcn_train_step,
+                                  pad_model_params, shard_graph_by_rows)
+    from gcn_tpu.parallel.partition import pad_rows
+    from gcn_tpu.train.optim import adam_l2
+
+    n, classes, feat, hid = 256, 4, 31, 13
+    adj_g, labels = sbm(n=n, n_classes=classes, avg_degree=8.0, seed=5)
+    g = gcn_normalize(adj_g)
+    x = class_features(labels, feat_dim=feat, seed=5)
+
+    mesh = create_mesh_2d(4, 2)
+    sg = shard_graph_by_rows(g, 4)
+    params = init_gcn_params(jax.random.PRNGKey(0), feat, hid, classes)
+    params_pad = pad_model_params(params, 2)
+    assert params_pad["gc1"]["w"].shape == (32, 14)
+    assert params_pad["gc2"]["w"].shape == (14, classes)
+    tx = adam_l2(0.01, 5e-4)
+    step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.0, model_axis="model")
+    mask = np.ones(n, np.float32)
+    adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg), pad_rows(labels, sg),
+                               pad_rows(mask, sg))
+    assert xs.shape[1] == 32  # shard_fn padded the feature columns
+    p2 = params_pad
+    opt = tx.init(params_pad)
+    for i in range(3):
+        p2, opt, loss = step(p2, opt, jax.random.PRNGKey(1 + i), adj, xs,
+                             ys, ms)
+    lp = np.asarray(eval_fn(p2, adj, xs))[:n]
+
+    p_host = jax.device_get(p2)
+    # padded entries are still exactly zero after optimizer steps
+    assert not np.abs(p_host["gc1"]["w"][feat:]).any()
+    assert not np.abs(p_host["gc1"]["w"][:, hid:]).any()
+    assert not np.abs(p_host["gc1"]["b"][hid:]).any()
+    assert not np.abs(p_host["gc2"]["w"][hid:]).any()
+    p_trim = {
+        "gc1": {"w": p_host["gc1"]["w"][:feat, :hid],
+                "b": p_host["gc1"]["b"][:hid]},
+        "gc2": {"w": p_host["gc2"]["w"][:hid], "b": p_host["gc2"]["b"]},
+    }
+    lp_ref = gcn_forward(p_trim, jnp.asarray(x),
+                         device_adjacency(g, "dense"),
+                         orders=("a_xw", "a_xw"), train=False)
+    np.testing.assert_allclose(lp, np.asarray(lp_ref), rtol=5e-4,
+                               atol=5e-4)
