@@ -46,12 +46,33 @@ def bench_devices(d, nodes_per_device, steps, kernel, exchange, seed=0):
     bperm = band_degree_sort_order(g, rows_per_shard_for(n, d))
     g, x, labels = g.permute(bperm), x[bperm], labels[bperm]
 
-    mesh = create_mesh(d)
+    hosts = None
+    if exchange == "halo_hier":
+        from gcn_tpu.parallel import create_mesh_hier
+
+        hosts = max(h for h in (1, 2, 4) if d % h == 0 and h <= d)
+        mesh = create_mesh_hier(hosts, d // hosts)
+    else:
+        mesh = create_mesh(d)
     sg = shard_graph_by_rows(g, d)
     params = init_gcn_params(jax.random.PRNGKey(0), 64, 32, 8)
     tx = adam_l2(0.01, 5e-4)
     step, _, shard_fn = make_sharded_gcn_train_step(
         mesh, sg, tx, dropout=0.5, exchange=exchange, kernel=kernel)
+
+    # per-level exchange accounting (rows/device/layer; 4 B/row/feature)
+    stats = {}
+    if d > 1 and exchange != "all_gather":
+        from gcn_tpu.parallel import (build_halo_plan_hier,
+                                      build_halo_plan_ragged)
+
+        pr = build_halo_plan_ragged(sg)
+        stats["flat_exchange_rows"] = sum(pr.sizes)
+        if hosts and hosts > 1:
+            ph = build_halo_plan_hier(sg, hosts, d // hosts)
+            stats["ici_intra_rows"] = sum(ph.intra_sizes)
+            stats["dcn_union_rows"] = sum(ph.inter_sizes)
+            stats["ici_fanout_rows"] = ph.ici_gather_rows
     mask = np.ones(n, np.float32)
     adj_d, xs, ys, ms = shard_fn(sg, pad_rows(x, sg), pad_rows(labels, sg),
                                  pad_rows(mask, sg))
@@ -65,7 +86,7 @@ def bench_devices(d, nodes_per_device, steps, kernel, exchange, seed=0):
         params, opt_state, loss = step(params, opt_state, rng, adj_d, xs,
                                        ys, ms)
     float(loss)
-    return (time.perf_counter() - t0) / steps
+    return (time.perf_counter() - t0) / steps, stats
 
 
 def main():
@@ -76,7 +97,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--kernel", default="segsum", choices=["segsum", "ell"])
     ap.add_argument("--exchange", default="halo",
-                    choices=["halo", "all_gather"])
+                    choices=["halo", "halo_padded", "halo_hier",
+                             "all_gather"])
     args = ap.parse_args()
 
     import jax
@@ -87,13 +109,13 @@ def main():
     results = []
     t1 = None
     for d in counts:
-        t = bench_devices(d, args.nodes_per_device, args.steps,
-                          args.kernel, args.exchange)
+        t, stats = bench_devices(d, args.nodes_per_device, args.steps,
+                                 args.kernel, args.exchange)
         if t1 is None:
             t1 = t
         eff = t1 / t
         results.append({"devices": d, "step_ms": round(t * 1e3, 2),
-                        "weak_scaling_efficiency": round(eff, 3)})
+                        "weak_scaling_efficiency": round(eff, 3), **stats})
         print(json.dumps(results[-1]))
     return 0
 

@@ -1,7 +1,10 @@
-from gcn_tpu.parallel.halo import (HaloPlan, RaggedHaloPlan,
-                                   build_halo_plan, build_halo_plan_ragged,
+from gcn_tpu.parallel.halo import (HaloPlan, HierHaloPlan,
+                                   RaggedHaloPlan, build_halo_plan,
+                                   build_halo_plan_hier,
+                                   build_halo_plan_ragged,
                                    dist_spmm_halo, make_halo_exchange)
-from gcn_tpu.parallel.mesh import create_mesh, create_mesh_2d
+from gcn_tpu.parallel.mesh import (create_mesh, create_mesh_2d,
+                                   create_mesh_hier)
 from gcn_tpu.parallel.partition import (ShardedGraph,
                                         band_degree_sort_order,
                                         shard_graph_by_rows)
@@ -10,12 +13,15 @@ from gcn_tpu.parallel.train_step import (make_sharded_gcn_train_step,
 
 __all__ = [
     "HaloPlan",
+    "HierHaloPlan",
     "RaggedHaloPlan",
     "band_degree_sort_order",
     "build_halo_plan",
+    "build_halo_plan_hier",
     "build_halo_plan_ragged",
     "create_mesh",
     "create_mesh_2d",
+    "create_mesh_hier",
     "dist_spmm_halo",
     "make_halo_exchange",
     "ShardedGraph",

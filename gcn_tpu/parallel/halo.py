@@ -81,6 +81,11 @@ class HaloPlan:
         """Height of the received-halo region of the gather table."""
         return self.n_shards * self.h_max
 
+    @property
+    def device_arrays(self) -> tuple:
+        """Per-device jit arguments in exchange order (col_remap last)."""
+        return (self.send_idx, self.col_remap)
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -117,6 +122,10 @@ class RaggedHaloPlan:
     def exchange_fraction(self) -> float:
         """Per-device exchanged rows vs the all-gather's full row count."""
         return sum(self.sizes) / max(self.n_rows, 1)
+
+    @property
+    def device_arrays(self) -> tuple:
+        return (self.send_idx, self.col_remap)
 
 
 def _pair_boundaries(sg: ShardedGraph):
@@ -191,6 +200,175 @@ def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["send_intra", "send_inter", "col_remap"],
+    meta_fields=["intra_sizes", "inter_sizes", "n_hosts", "n_chips",
+                 "n_rows"],
+)
+@dataclasses.dataclass(frozen=True)
+class HierHaloPlan:
+    """Two-level (host x chip) boundary-exchange plan.
+
+    On a pod, a flat exchange ships every (dst, src) boundary over
+    whatever link connects the pair — mostly DCN once shards span hosts.
+    The hierarchical plan moves same-host boundaries over the chip axis
+    (ICI, ragged per-offset ppermutes as in RaggedHaloPlan) and, across
+    hosts, ships each source's boundary ONCE per destination HOST — the
+    union over that host's chips — then fans it out intra-host with one
+    all_gather over the chip axis. DCN rows per device drop from
+    sum-over-remote-devices to sum-over-remote-hosts-of-unions (dedup
+    factor up to n_chips); the fan-out rides ICI where bandwidth is an
+    order of magnitude cheaper (BASELINE.md 1 chip / 1 host / N hosts
+    reporting points).
+
+    send_intra int32[ns, sum(intra_sizes)]  chip-offset segments
+    send_inter int32[ns, sum(inter_sizes)]  host-offset UNION segments
+    col_remap  int32[ns, e_max]  into concat(zeros(8), intra segments,
+               all-gathered inter unions (chip-major), own band)
+    """
+
+    send_intra: jnp.ndarray
+    send_inter: jnp.ndarray
+    col_remap: jnp.ndarray
+    intra_sizes: tuple
+    inter_sizes: tuple
+    n_hosts: int
+    n_chips: int
+    n_rows: int
+
+    @property
+    def halo_rows(self) -> int:
+        return 8 + sum(self.intra_sizes) + self.n_chips * sum(
+            self.inter_sizes)
+
+    @property
+    def exchange_fraction(self) -> float:
+        """Per-device exchanged rows (ICI intra + DCN inter) vs a full
+        all-gather; the ICI fan-out is reported separately."""
+        return (sum(self.intra_sizes) + sum(self.inter_sizes)) / max(
+            self.n_rows, 1)
+
+    @property
+    def dcn_fraction(self) -> float:
+        """Per-device DCN rows vs a full all-gather."""
+        return sum(self.inter_sizes) / max(self.n_rows, 1)
+
+    @property
+    def ici_gather_rows(self) -> int:
+        """Rows each device pulls over ICI in the inter-union fan-out."""
+        return (self.n_chips - 1) * sum(self.inter_sizes)
+
+    @property
+    def device_arrays(self) -> tuple:
+        return (self.send_intra, self.send_inter, self.col_remap)
+
+
+def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
+                         n_chips: int) -> HierHaloPlan:
+    """Hierarchical exchange plan; shard id = host * n_chips + chip."""
+    ns, rps = sg.n_shards, sg.rows_per_shard
+    assert ns == n_hosts * n_chips
+    cols = np.asarray(sg.cols)
+    vals = np.asarray(sg.vals)
+    e_max = cols.shape[1]
+    needed = _pair_boundaries(sg)
+
+    # intra-host: ragged per-chip-offset sizes (max over hosts AND chips)
+    intra_sizes = []
+    for t in range(1, n_chips):
+        h = max((len(needed[hh * n_chips + (c + t) % n_chips,
+                            hh * n_chips + c])
+                 for hh in range(n_hosts) for c in range(n_chips)),
+                default=0)
+        intra_sizes.append(_round_up(h, 8) if h else 0)
+    intra_sizes = tuple(intra_sizes)
+
+    # inter-host: union over the destination host's chips, per source
+    union = {}
+    for s in range(ns):
+        hs = s // n_chips
+        for hd in range(n_hosts):
+            if hd == hs:
+                continue
+            u = np.unique(np.concatenate(
+                [needed[hd * n_chips + c, s] for c in range(n_chips)]))
+            union[hd, s] = u
+    inter_sizes = []
+    for th in range(1, n_hosts):
+        h = max((len(union[(s // n_chips + th) % n_hosts, s])
+                 for s in range(ns)), default=0)
+        inter_sizes.append(_round_up(h, 8) if h else 0)
+    inter_sizes = tuple(inter_sizes)
+
+    intra_base = {}
+    off = 8
+    for t in range(1, n_chips):
+        intra_base[t] = off
+        off += intra_sizes[t - 1]
+    inter_base = off  # gathered unions start here (chip-major)
+    sum_inter = sum(inter_sizes)
+    ioff = {}
+    o = 0
+    for th in range(1, n_hosts):
+        ioff[th] = o
+        o += inter_sizes[th - 1]
+    band_off = inter_base + n_chips * sum_inter
+
+    send_intra = np.zeros((ns, sum(intra_sizes)), dtype=np.int32)
+    send_inter = np.zeros((ns, sum_inter), dtype=np.int32)
+    for s in range(ns):
+        hs, cs = divmod(s, n_chips)
+        o = 0
+        for t in range(1, n_chips):
+            if intra_sizes[t - 1] == 0:
+                continue
+            u = needed[hs * n_chips + (cs + t) % n_chips, s]
+            send_intra[s, o:o + len(u)] = u
+            o += intra_sizes[t - 1]
+        o = 0
+        for th in range(1, n_hosts):
+            if inter_sizes[th - 1] == 0:
+                continue
+            u = union[(hs + th) % n_hosts, s]
+            send_inter[s, o:o + len(u)] = u
+            o += inter_sizes[th - 1]
+
+    col_remap = np.zeros((ns, e_max), dtype=np.int32)
+    for d in range(ns):
+        hd, cd = divmod(d, n_chips)
+        src = cols[d] // rps
+        lid = cols[d] % rps
+        real = vals[d] != 0
+        for s in range(ns):
+            sel = src == s
+            if s == d:
+                col_remap[d, sel & real] = band_off + lid[sel & real]
+                continue
+            hs, cs = divmod(s, n_chips)
+            if hs == hd:
+                t = (cd - cs) % n_chips
+                u = needed[d, s]
+                base = intra_base[t]
+            else:
+                th = (hd - hs) % n_hosts
+                u = union[hd, s]
+                base = inter_base + cs * sum_inter + ioff[th]
+            pos = np.searchsorted(u, lid[sel])
+            pos = np.minimum(pos, max(len(u) - 1, 0))
+            if len(u):
+                ok = u[pos[real[sel]]] == lid[sel][real[sel]]
+                assert ok.all(), "hier halo plan missed a boundary row"
+            col_remap[d, sel & real] = base + pos[real[sel]]
+    return HierHaloPlan(
+        send_intra=jnp.asarray(send_intra),
+        send_inter=jnp.asarray(send_inter),
+        col_remap=jnp.asarray(col_remap),
+        intra_sizes=intra_sizes, inter_sizes=inter_sizes,
+        n_hosts=n_hosts, n_chips=n_chips, n_rows=sg.n_rows,
+    )
+
+
 def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
     """Static boundary-exchange plan from a row-banded graph."""
     ns, rps = sg.n_shards, sg.rows_per_shard
@@ -262,10 +440,55 @@ def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
     return jnp.concatenate(parts, axis=0)
 
 
+def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
+                        plan_arrays, x_band, axis_name):
+    """Two-level exchange (HierHaloPlan): ragged chip-offset ppermutes
+    for same-host boundaries, then per-host-offset ppermutes of the
+    UNION rows over the host axis (DCN) and one all_gather fan-out over
+    the chip axis (ICI). ``axis_name`` must be the (host, chip) tuple."""
+    host_axis, chip_axis = axis_name
+    send_intra, send_inter, _ = plan_arrays
+    send_intra = send_intra.reshape(-1)
+    send_inter = send_inter.reshape(-1)
+    k = x_band.shape[1]
+    parts = [jnp.zeros((8, k), x_band.dtype)]
+    rows_i = jnp.take(x_band, send_intra, axis=0)
+    off = 0
+    for t, h in enumerate(intra_sizes, start=1):
+        if h == 0:
+            continue
+        perm = [(c, (c + t) % n_chips) for c in range(n_chips)]
+        parts.append(jax.lax.ppermute(rows_i[off:off + h], chip_axis,
+                                      perm))
+        off += h
+    rows_e = jnp.take(x_band, send_inter, axis=0)
+    recvs = []
+    off = 0
+    for th, h in enumerate(inter_sizes, start=1):
+        if h == 0:
+            continue
+        perm = [(hh, (hh + th) % n_hosts) for hh in range(n_hosts)]
+        recvs.append(jax.lax.ppermute(rows_e[off:off + h], host_axis,
+                                      perm))
+        off += h
+    if recvs:
+        inter = (recvs[0] if len(recvs) == 1
+                 else jnp.concatenate(recvs, axis=0))
+        # ICI fan-out: every chip needs the unions received by its
+        # same-host peers (chip-major layout, matching col_remap)
+        parts.append(jax.lax.all_gather(inter, chip_axis, axis=0,
+                                        tiled=True))
+    return jnp.concatenate(parts, axis=0)
+
+
 def make_halo_exchange(plan):
-    """exchange(plan_arrays, x_band, axis_name) -> halo rows, for either
+    """exchange(plan_arrays, x_band, axis_name) -> halo rows, for any
     plan flavor (static metadata rides the closure; arrays stay jit
-    arguments)."""
+    arguments). For HierHaloPlan, axis_name must be the (host, chip)
+    axis-name tuple."""
+    if isinstance(plan, HierHaloPlan):
+        return partial(_exchange_halo_hier, plan.intra_sizes,
+                       plan.inter_sizes, plan.n_hosts, plan.n_chips)
     if isinstance(plan, RaggedHaloPlan):
         return partial(_exchange_halo_ragged, plan.sizes, plan.n_shards)
     return _exchange_halo
@@ -285,11 +508,9 @@ def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
     rows_local, _, vals = shard_arrays
     rows_local = rows_local.reshape(-1)
     vals = vals.reshape(-1)
-    send_idx, col_remap = plan_arrays
-    col_remap = col_remap.reshape(-1)          # (e_max,)
+    col_remap = plan_arrays[-1].reshape(-1)    # (e_max,)
 
-    halo = (exchange or _exchange_halo)((send_idx, col_remap), x_band,
-                                        axis_name)
+    halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name)
     table = jnp.concatenate([halo, x_band], axis=0)
 
     gathered = jnp.take(table, col_remap, axis=0) * vals[:, None].astype(

@@ -41,6 +41,23 @@ def create_mesh_2d(n_data: int, n_model: int,
                          devices=devices[:need])
 
 
+def create_mesh_hier(n_hosts: int, n_chips: int,
+                     axis_names: Sequence[str] = ("host", "chip")) -> Mesh:
+    """2-level mesh for the hierarchical halo exchange: the row partition
+    spans BOTH axes (shard = host*n_chips + chip) so that the "chip" axis
+    maps to ICI and the "host" axis to DCN on a real pod. Boundary rows
+    then move intra-host first, and only per-host UNIONS cross DCN
+    (build_halo_plan_hier). On a real slice, order `devices` so same-host
+    chips share a "host" index; the fake CPU mesh just reshapes."""
+    devices = jax.devices()
+    need = n_hosts * n_chips
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_hosts}x{n_chips} devices, have {len(devices)}")
+    return jax.make_mesh((n_hosts, n_chips), tuple(axis_names),
+                         devices=devices[:need])
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> Mesh:

@@ -112,17 +112,31 @@ def make_sharded_gcn_train_step(
     x's columns to match; padding is numerically inert, see the helper's
     docstring). Composes with every exchange/kernel knob.
     """
-    assert exchange in ("halo", "halo_padded", "all_gather")
+    assert exchange in ("halo", "halo_padded", "halo_hier", "all_gather")
     if kernel is None:
         # flagship default: packed-ELL + overlapped halo; the all_gather
         # baseline keeps the portable segment-sum
         kernel = "segsum" if exchange == "all_gather" else "ell"
     assert kernel in ("segsum", "ell")
     rps = sg.rows_per_shard
-    halo_like = exchange in ("halo", "halo_padded")
+    halo_like = exchange in ("halo", "halo_padded", "halo_hier")
 
     # --- aggregation strategy -------------------------------------------
-    if halo_like:
+    if exchange == "halo_hier":
+        # two-level host x chip exchange: the row partition spans BOTH
+        # mesh axes; ``axis`` must be the (host, chip) axis-name tuple
+        from gcn_tpu.parallel.halo import (build_halo_plan_hier,
+                                           make_halo_exchange)
+
+        assert model_axis is None, \
+            "halo_hier does not compose with model_axis yet"
+        if not isinstance(axis, tuple):
+            axis = ("host", "chip")
+        nh, nc = mesh.shape[axis[0]], mesh.shape[axis[1]]
+        plan = build_halo_plan_hier(sg, nh, nc)
+        ex_fn = make_halo_exchange(plan)
+        plan_dev = plan.device_arrays
+    elif halo_like:
         from gcn_tpu.parallel.halo import (build_halo_plan,
                                            build_halo_plan_ragged,
                                            make_halo_exchange)
@@ -130,7 +144,7 @@ def make_sharded_gcn_train_step(
         plan = (build_halo_plan_ragged(sg) if exchange == "halo"
                 else build_halo_plan(sg))
         ex_fn = make_halo_exchange(plan)
-        plan_dev = (plan.send_idx, plan.col_remap)
+        plan_dev = plan.device_arrays
     else:
         plan = ex_fn = None
         plan_dev = (jnp.zeros((sg.n_shards, 1, 1), jnp.int32),

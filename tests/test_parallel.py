@@ -543,3 +543,62 @@ def test_2d_mesh_indivisible_widths_pad(rng):
                          orders=("a_xw", "a_xw"), train=False)
     np.testing.assert_allclose(lp, np.asarray(lp_ref), rtol=5e-4,
                                atol=5e-4)
+
+
+def test_hier_halo_matches_unsharded(rng):
+    """Hierarchical (host x chip) halo on a fake 2x4 mesh: train step +
+    eval must match the unsharded forward, DCN rows must be at most the
+    flat ragged inter-host volume, and training must converge with
+    dropout on."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcn_tpu.data.synthetic import class_features, sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.models.gcn_core import gcn_forward, init_gcn_params
+    from gcn_tpu.ops.adjacency import device_adjacency
+    from gcn_tpu.parallel import (build_halo_plan_hier,
+                                  build_halo_plan_ragged, create_mesh_hier,
+                                  make_sharded_gcn_train_step,
+                                  shard_graph_by_rows)
+    from gcn_tpu.parallel.partition import pad_rows
+    from gcn_tpu.train.optim import adam_l2
+
+    n, classes, feat = 512, 5, 32
+    adj_g, labels = sbm(n=n, n_classes=classes, avg_degree=8.0, seed=3)
+    g = gcn_normalize(adj_g)
+    x = class_features(labels, feat_dim=feat, seed=3)
+    mesh = create_mesh_hier(2, 4)
+    sg = shard_graph_by_rows(g, 8)
+
+    plan_h = build_halo_plan_hier(sg, 2, 4)
+    plan_r = build_halo_plan_ragged(sg)
+    # union dedup: DCN rows never exceed the flat plan's total exchange
+    assert plan_h.dcn_fraction <= plan_r.exchange_fraction + 1e-9
+    assert plan_h.ici_gather_rows >= 0
+
+    params = init_gcn_params(jax.random.PRNGKey(0), feat, 16, classes)
+    tx = adam_l2(0.01, 5e-4)
+    step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.0, exchange="halo_hier")
+    mask = np.ones(n, np.float32)
+    adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg), pad_rows(labels, sg),
+                               pad_rows(mask, sg))
+    p2, o2, loss = step(params, tx.init(params), jax.random.PRNGKey(1),
+                        adj, xs, ys, ms)
+    assert np.isfinite(float(loss))
+    lp = np.asarray(eval_fn(p2, adj, xs))[:n]
+    ref = gcn_forward(jax.device_get(p2), jnp.asarray(x),
+                      device_adjacency(g, "dense"),
+                      orders=("a_xw", "a_xw"), train=False)
+    np.testing.assert_allclose(lp, np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+    # dropout path (flattened host*chip axis index in the rng fold)
+    step_d, _, _ = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.5, exchange="halo_hier")
+    p, o = params, tx.init(params)
+    losses = []
+    for i in range(5):
+        p, o, loss = step_d(p, o, jax.random.PRNGKey(i), adj, xs, ys, ms)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
