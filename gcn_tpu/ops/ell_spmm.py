@@ -191,7 +191,30 @@ def _spmm_ell_impl(cols, vals, win, x, r, k_pad, n_rows, chunks=None,
             for c in range(0, k, k_pad)
         ]
         return jnp.concatenate(parts, axis=1)
-    if chunks is not None and len(chunks) > 1:
+    # Packed gather tables (q > 1) must NOT take the grouped-span path:
+    # the grouped reshape+sum defeats the packed lane-select fusion
+    # (measured 13.2 vs 6.4 ns/slot on synth-amazon bf16 q=4) — the
+    # Pallas reduce keeps the packed gather loop pure.
+    if spans and _pack_q(x.shape[0], k_pad, x.dtype) > 1:
+        spans = ()
+    if spans and chunks is not None and len(chunks) > 1:
+        # Grouped spans materialize no products buffer (the pass
+        # reduction fuses into the gather), so the row-chunk bound only
+        # matters for merged-Pallas hub RUNS. Keep the span path — the
+        # big-graph fast path since round 3 — unless some hub run's
+        # products would exceed what the chunk plan was sized for.
+        max_chunk = max(be - bs for bs, be, _, _ in chunks)
+        run = 0
+        max_run = 0
+        for _, _, pw, ws, we in spans:
+            if pw > span_limit:
+                run += (we - ws) * pw
+                max_run = max(max_run, run)
+            else:
+                run = 0
+        if max_run > max_chunk:
+            spans = ()
+    if not spans and chunks is not None and len(chunks) > 1:
         # row chunks (window-aligned): bounds the gather-products buffer
         # to one chunk's slots however large the graph (tile/ell.py)
         outs = []

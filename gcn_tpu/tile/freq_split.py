@@ -44,15 +44,25 @@ _BUDGET = 100 * 1024 * 1024
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["hot", "cold"],
+    data_fields=["hot", "cold", "hot_unperm", "cold_unperm"],
     meta_fields=["hot_rows", "n_rows", "n_cols", "nnz", "hot_nnz"],
 )
 @dataclasses.dataclass(frozen=True)
 class FreqSplitAdj:
-    """Two-table split adjacency (see module docstring)."""
+    """Two-table split adjacency (see module docstring).
+
+    Each part's rows are re-sorted by the part's OWN degree (a row's hot
+    and cold degrees differ, so the global order leaves part windows
+    inhomogeneous — measured +50% padded slots on synth-amazon without
+    the per-part sort). ``*_unperm`` maps the part output back to global
+    rows: out = take(hot_out, hot_unperm) + take(cold_out, cold_unperm),
+    two n-row gathers (~2-3 ns/row) against tens of ms of padded-slot
+    gathers saved."""
 
     hot: EllAdj    # (n_rows, hot_rows): columns < hot_rows
     cold: EllAdj   # (n_rows, n_cols - hot_rows): columns shifted by -H
+    hot_unperm: jnp.ndarray    # int32[n_rows]: global row -> hot-part row
+    cold_unperm: jnp.ndarray   # int32[n_rows]
     hot_rows: int
     n_rows: int
     n_cols: int
@@ -69,10 +79,18 @@ class FreqSplitAdj:
 
 
 def default_hot_rows(n_cols: int, table_bf16: bool = False) -> int:
-    """Largest hot-table height whose lane-padded footprint stays
-    resident (rows x 128 lanes x dtype bytes <= the ~100 MB envelope)."""
+    """Hot-table height chosen so hot (unpacked) AND cold (packed q=4)
+    tables CO-FIT the residency envelope — they alternate accesses, so
+    they share it: measured on synth-amazon bf16, hot 52 MB + cold 87 MB
+    runs the cold gather at 7.2 ns/slot while hot 105 MB + cold 74 MB
+    thrashes to 13.7. Solves hot + (n_cols - hot)/4 <= ~1.4x envelope
+    rows; falls back to half the envelope when n_cols alone overflows
+    it."""
     dsize = 2 if table_bf16 else 4
-    return (_BUDGET // (128 * dsize)) // 8 * 8
+    budget_rows = int(1.4 * _BUDGET) // (128 * dsize)
+    hot = (budget_rows - n_cols // 4) * 4 // 3
+    hot = max(hot, budget_rows // 2)
+    return max(8, min(hot, n_cols)) // 8 * 8
 
 
 def ell_adjacency_freq(
@@ -80,6 +98,7 @@ def ell_adjacency_freq(
     *,
     hot_rows: int = None,
     table_bf16: bool = False,
+    part_sort: bool = False,
     **kw,
 ) -> FreqSplitAdj:
     """Split ``g`` by column hotness and tile both sides.
@@ -88,6 +107,14 @@ def ell_adjacency_freq(
     envelope (n over ~1M f32 / ~2M bf16 at k_pad<=32); below that the
     single-table ``ell_adjacency`` wins (no split overhead). Rows should
     be degree-sorted first so hot columns are the prefix.
+
+    ``part_sort``: re-sort each part's rows by the part's own degree —
+    perfect per-part fill, but each part's output then needs an n-row
+    un-permute gather, MEASURED at ~51 ms each at amazon scale (n=1.57M;
+    the un-permute table is itself past residency). Keeping the global
+    row order costs ~25% padded slots instead (~30 ms of wasted gathers)
+    and needs no un-permute, so False wins at every scale measured —
+    kept as a knob for future regimes.
     """
     n, m = g.shape
     if hot_rows is None:
@@ -102,23 +129,47 @@ def ell_adjacency_freq(
         cnt = np.bincount(rows[keep], minlength=n)
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(cnt, out=indptr[1:])
-        return CSRGraph(indptr, g.indices[keep] - shift, g.data[keep],
-                        (n, n_cols))
+        csr = CSRGraph(indptr, g.indices[keep] - shift, g.data[keep],
+                       (n, n_cols))
+        if not part_sort:
+            return csr, None
+        # per-part degree sort (row gather; columns stay sorted) + the
+        # inverse map used to un-permute the part's SpMM output
+        order = np.argsort(-cnt, kind="stable").astype(np.int64)
+        counts = cnt[order]
+        indptr2 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr2[1:])
+        ofs = np.arange(csr.nnz, dtype=np.int64) - np.repeat(
+            indptr2[:-1], counts)
+        src = np.repeat(indptr[order], counts) + ofs
+        sorted_csr = CSRGraph(indptr2, csr.indices[src], csr.data[src],
+                              (n, n_cols))
+        unperm = np.empty(n, dtype=np.int32)
+        unperm[order] = np.arange(n, dtype=np.int32)
+        return sorted_csr, jnp.asarray(unperm)
 
-    hot_g = part(mask, hot_rows, 0)
-    cold_g = part(~mask, m - hot_rows, hot_rows)
+    hot_g, hot_unperm = part(mask, hot_rows, 0)
+    cold_g, cold_unperm = part(~mask, m - hot_rows, hot_rows)
     hot = ell_adjacency(hot_g, symmetric=False, table_bf16=table_bf16,
                         **kw)
     cold = ell_adjacency(cold_g, symmetric=False, table_bf16=table_bf16,
                          **kw)
-    return FreqSplitAdj(hot=hot, cold=cold, hot_rows=hot_rows,
+    return FreqSplitAdj(hot=hot, cold=cold,
+                        hot_unperm=hot_unperm, cold_unperm=cold_unperm,
+                        hot_rows=hot_rows,
                         n_rows=n, n_cols=m, nnz=g.nnz, hot_nnz=hot_g.nnz)
 
 
 def spmm_ell_freq(fs: FreqSplitAdj, x: jnp.ndarray) -> jnp.ndarray:
     """out = A @ x through the frequency-split tables; differentiable
-    (two spmm_ell custom-VJP calls composed with slices)."""
+    (two spmm_ell custom-VJP calls composed with slices and the
+    un-permute gathers)."""
     from gcn_tpu.ops.ell_spmm import spmm_ell
 
-    return (spmm_ell(fs.hot, x[:fs.hot_rows])
-            + spmm_ell(fs.cold, x[fs.hot_rows:]))
+    hot = spmm_ell(fs.hot, x[:fs.hot_rows])
+    if fs.hot_unperm is not None:
+        hot = jnp.take(hot, fs.hot_unperm, axis=0)
+    cold = spmm_ell(fs.cold, x[fs.hot_rows:])
+    if fs.cold_unperm is not None:
+        cold = jnp.take(cold, fs.cold_unperm, axis=0)
+    return hot + cold
