@@ -42,6 +42,24 @@ class GraphData:
     def num_features(self) -> int:
         return self.features.shape[1]
 
+    def masks(self):
+        """Boolean-mask view of the splits plus one-hot masked labels —
+        the ``Dataset(require_mask=True)`` accessor (dataio.py:28-35,
+        164-181). Returns ``(train_mask, val_mask, test_mask, y_train,
+        y_val, y_test)``; each ``y_*`` is the (n, C) one-hot matrix
+        zeroed outside its split, as GCN implementations that consume
+        mask-style supervision expect."""
+        n, c = self.num_nodes, self.num_classes
+        onehot = np.zeros((n, c), dtype=np.float32)
+        onehot[np.arange(n), self.labels] = 1.0
+        masks, ys = [], []
+        for idx in (self.idx_train, self.idx_val, self.idx_test):
+            m = np.zeros(n, dtype=bool)
+            m[np.asarray(idx)] = True
+            masks.append(m)
+            ys.append(np.where(m[:, None], onehot, 0.0))
+        return (*masks, *ys)
+
 
 # (n, classes, avg_degree, feat_dim, powerlaw) sized after the reference's
 # benchmark roster (run.sh:3-9, dataio.py:18).

@@ -160,6 +160,19 @@ class CSRGraph:
         indptr = self.indptr.astype(np.int64) + add
         return CSRGraph(indptr, indices, data, self.shape)
 
+    def to_dag(self) -> "CSRGraph":
+        """Orient every edge low-id -> high-id (a DAG under the id order).
+
+        The CSR form of ``Edgelist::to_dag`` (edgelist.cu:37-47), which
+        swaps each (u, v) with u > v. Anti-parallel pairs — both (u, v)
+        and (v, u) present, i.e. any symmetric graph — land on the same
+        (min, max) slot and are SUMMED (CSR's canonical form; the
+        reference's edgelist keeps duplicate entries instead). Self loops
+        are kept in place."""
+        r, c, v = self.to_coo()
+        return coo_to_csr(np.minimum(r, c), np.maximum(r, c), v,
+                          self.shape)
+
     def eliminate_zeros(self) -> "CSRGraph":
         r, c, v = self.to_coo()
         keep = v != 0

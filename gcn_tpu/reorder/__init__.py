@@ -7,7 +7,7 @@ window tile density (gcn_tpu.tile) and minimizes cross-shard halo traffic
 (gcn_tpu.parallel).
 
 Methods (perm[new] = old, the reference's ``vomp`` convention):
-  identity | degree | dfs | rcm | gorder | rabbit
+  identity | degree | degree_in | degree_out | dfs | rcm | gorder | rabbit
 
 Every pass is validated by a permutation check plus a graph-isomorphism
 checksum, the same self-verification the reference performs after each pass
@@ -25,8 +25,11 @@ import numpy as np
 
 from gcn_tpu.graph.csr import CSRGraph
 
-METHODS = ("identity", "degree", "dfs", "rcm", "gorder", "gorder3",
-           "rabbit")
+METHODS = ("identity", "degree", "degree_in", "degree_out", "dfs", "rcm",
+           "gorder", "gorder3", "rabbit")
+# passes implemented in the native library; the rest are numpy-only
+# (degree_in/degree_out are single argsorts — no native win to be had)
+_NATIVE_METHODS = ("degree", "dfs", "rcm", "gorder", "gorder3", "rabbit")
 
 
 def compute_permutation(g: CSRGraph, method: str = "rabbit",
@@ -36,7 +39,7 @@ def compute_permutation(g: CSRGraph, method: str = "rabbit",
         raise ValueError(f"unknown reorder method {method!r}; options: {METHODS}")
     if method == "identity":
         return np.arange(g.shape[0], dtype=np.int32)
-    if prefer_native:
+    if prefer_native and method in _NATIVE_METHODS:
         from gcn_tpu.reorder import native
 
         if native.available():

@@ -27,6 +27,20 @@ def degree_order(g: CSRGraph) -> np.ndarray:
     return np.argsort(deg, kind="stable").astype(np.int32)
 
 
+def degree_out_order(g: CSRGraph) -> np.ndarray:
+    """Sort by OUT-degree (CSR row lengths) ascending — the directed
+    variant order_degOut (order_deg.cu:46-50). Identical to
+    ``degree_order`` on the symmetric GCN adjacency; differs on directed
+    graphs (e.g. after ``CSRGraph.to_dag``)."""
+    return np.argsort(g.row_degrees(), kind="stable").astype(np.int32)
+
+
+def degree_in_order(g: CSRGraph) -> np.ndarray:
+    """Sort by IN-degree (column counts) ascending — order_degIn
+    (order_deg.cu:52-56)."""
+    return np.argsort(g.col_degrees(), kind="stable").astype(np.int32)
+
+
 def dfs_order(g: CSRGraph) -> np.ndarray:
     """Iterative DFS visit order over every component (renumber.cu:23-155)."""
     n = g.shape[0]

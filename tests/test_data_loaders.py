@@ -160,3 +160,21 @@ def test_hypergraph_mat_loader(tmp_path, rng):
         use_gvcnn_feature_for_structure=True)
     assert fts2.shape == (n, 24)          # concat of both modalities
     assert h.shape == (n, 2 * n)          # hyperedges from both modalities
+
+
+def test_graphdata_masks():
+    """Dataset(require_mask=True) accessor parity (dataio.py:28-35,
+    164-181): boolean split masks + one-hot labels zeroed off-split."""
+    from gcn_tpu.data import get_dataset
+
+    d = get_dataset("synth-tiny", seed=0)
+    tr, va, te, y_tr, y_va, y_te = d.masks()
+    n, c = d.num_nodes, d.num_classes
+    for m, idx in ((tr, d.idx_train), (va, d.idx_val), (te, d.idx_test)):
+        assert m.dtype == bool and m.shape == (n,)
+        assert np.array_equal(np.flatnonzero(m), np.sort(np.asarray(idx)))
+    assert y_tr.shape == (n, c)
+    sel = y_tr[np.asarray(d.idx_train)]
+    assert np.array_equal(sel.argmax(1), d.labels[np.asarray(d.idx_train)])
+    assert np.all(y_tr[~tr] == 0) and np.all(y_te[~te] == 0)
+    assert np.all(y_tr.sum(1)[tr] == 1)

@@ -169,3 +169,15 @@ def test_permute_native_matches_numpy(rng):
     np.testing.assert_array_equal(got.indptr, want.indptr)
     np.testing.assert_array_equal(got.indices, want.indices)
     np.testing.assert_allclose(got.data, want.data)
+
+
+def test_to_dag(rng):
+    """Edgelist::to_dag parity (edgelist.cu:37-47): every edge oriented
+    low->high; dense equality with triu(A + A^T) + kept diagonal."""
+    g = random_graph(rng, weighted=True)
+    dag = g.to_dag()
+    r, c, _ = dag.to_coo()
+    assert np.all(r <= c)
+    d = g.to_dense()
+    want = np.triu(d + d.T, k=1) + np.diag(np.diag(d))
+    np.testing.assert_allclose(dag.to_dense(), want, rtol=1e-6)

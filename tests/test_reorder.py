@@ -38,6 +38,21 @@ def test_degree_order_sorted(graph):
     assert np.all(np.diff(deg) >= 0)
 
 
+def test_directed_degree_orders(graph):
+    """order_degIn/order_degOut (order_deg.cu:46-56): on a directed graph
+    (to_dag orientation) the two variants sort by different degrees and
+    differ from each other; on the symmetric input they coincide with
+    ``degree``."""
+    dag = graph.to_dag()
+    p_out = python_impl.degree_out_order(dag)
+    p_in = python_impl.degree_in_order(dag)
+    assert np.all(np.diff(dag.row_degrees()[p_out]) >= 0)
+    assert np.all(np.diff(dag.col_degrees()[p_in]) >= 0)
+    assert not np.array_equal(p_out, p_in)  # DAG skews in vs out
+    sym_out = compute_permutation(graph, "degree_out", prefer_native=False)
+    assert np.array_equal(sym_out, python_impl.degree_order(graph))
+
+
 def test_dfs_covers_components():
     # two disconnected triangles
     edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]
