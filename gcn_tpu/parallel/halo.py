@@ -128,6 +128,24 @@ class RaggedHaloPlan:
         return (self.send_idx, self.col_remap)
 
 
+def _shard_edge_groups(cols_d, vals_d, rps, ns):
+    """Group one shard's edge slots by SOURCE shard in a single sort.
+
+    Returns ``(order, seg, lid_sorted)``: ``order`` permutes slots so
+    sources ascend (padding slots — val 0 — sort to a trailing sentinel
+    group and never enter any segment), ``seg[s]:seg[s+1]`` slices the
+    slots whose column lives on shard s, ``lid_sorted`` their local ids.
+    Every planner below runs off these segments, so plan construction is
+    O(E log E) total — independent of the shard count, where the naive
+    per-pair masking re-scans each shard's slots ns times (O(ns*E), which
+    a 64-256-chip pod slice cannot afford)."""
+    src = cols_d // rps
+    src = np.where(vals_d != 0, src, ns)   # padding -> sentinel group
+    order = np.argsort(src, kind="stable")
+    seg = np.searchsorted(src[order], np.arange(ns + 1))
+    return order, seg, (cols_d % rps)[order]
+
+
 def _pair_boundaries(sg: ShardedGraph):
     """needed[d, s] = sorted unique local ids on shard s that shard d's
     edges reference (s != d)."""
@@ -136,12 +154,10 @@ def _pair_boundaries(sg: ShardedGraph):
     vals = np.asarray(sg.vals)
     needed = {}
     for d in range(ns):
-        real = vals[d] != 0
-        src = cols[d] // rps
-        lid = cols[d] % rps
+        _, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps, ns)
         for s in range(ns):
             if s != d:
-                needed[d, s] = np.unique(lid[real & (src == s)])
+                needed[d, s] = np.unique(lid_sorted[seg[s]:seg[s + 1]])
     return needed
 
 
@@ -177,22 +193,20 @@ def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
             send_idx[s, o:o + len(u)] = u
             o += sizes[t - 1]
     for d in range(ns):
-        src = cols[d] // rps
-        lid = cols[d] % rps
-        real = vals[d] != 0
+        order, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps,
+                                                    ns)
         for s in range(ns):
-            sel = src == s
+            slots = order[seg[s]:seg[s + 1]]
+            lids = lid_sorted[seg[s]:seg[s + 1]]
             if s == d:
-                col_remap[d, sel & real] = off + lid[sel & real]
+                col_remap[d, slots] = off + lids
                 continue
-            t = (d - s) % ns
             u = needed[d, s]
-            pos = np.searchsorted(u, lid[sel])
-            pos = np.minimum(pos, max(len(u) - 1, 0))
-            if len(u):
-                ok = u[pos[real[sel]]] == lid[sel][real[sel]]
-                assert ok.all(), "halo plan missed a referenced boundary row"
-            col_remap[d, sel & real] = base[t] + pos[real[sel]]
+            pos = np.searchsorted(u, lids)
+            if len(lids):
+                assert np.array_equal(u[pos], lids), \
+                    "halo plan missed a referenced boundary row"
+            col_remap[d, slots] = base[(d - s) % ns] + pos
             # padding edges keep col_remap 0 -> the zero segment
     return RaggedHaloPlan(
         send_idx=jnp.asarray(send_idx), col_remap=jnp.asarray(col_remap),
@@ -337,29 +351,27 @@ def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
     col_remap = np.zeros((ns, e_max), dtype=np.int32)
     for d in range(ns):
         hd, cd = divmod(d, n_chips)
-        src = cols[d] // rps
-        lid = cols[d] % rps
-        real = vals[d] != 0
+        order, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps,
+                                                    ns)
         for s in range(ns):
-            sel = src == s
+            slots = order[seg[s]:seg[s + 1]]
+            lids = lid_sorted[seg[s]:seg[s + 1]]
             if s == d:
-                col_remap[d, sel & real] = band_off + lid[sel & real]
+                col_remap[d, slots] = band_off + lids
                 continue
             hs, cs = divmod(s, n_chips)
             if hs == hd:
-                t = (cd - cs) % n_chips
                 u = needed[d, s]
-                base = intra_base[t]
+                base = intra_base[(cd - cs) % n_chips]
             else:
-                th = (hd - hs) % n_hosts
                 u = union[hd, s]
-                base = inter_base + cs * sum_inter + ioff[th]
-            pos = np.searchsorted(u, lid[sel])
-            pos = np.minimum(pos, max(len(u) - 1, 0))
-            if len(u):
-                ok = u[pos[real[sel]]] == lid[sel][real[sel]]
-                assert ok.all(), "hier halo plan missed a boundary row"
-            col_remap[d, sel & real] = base + pos[real[sel]]
+                base = inter_base + cs * sum_inter + ioff[(hd - hs)
+                                                          % n_hosts]
+            pos = np.searchsorted(u, lids)
+            if len(lids):
+                assert np.array_equal(u[pos], lids), \
+                    "hier halo plan missed a boundary row"
+            col_remap[d, slots] = base + pos
     return HierHaloPlan(
         send_intra=jnp.asarray(send_intra),
         send_inter=jnp.asarray(send_inter),
@@ -376,41 +388,29 @@ def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
     vals = np.asarray(sg.vals)
     e_max = cols.shape[1]
 
-    needed = {}
-    h_max = 1
-    for d in range(ns):
-        real = vals[d] != 0
-        src = cols[d] // rps
-        lid = cols[d] % rps
-        for s in range(ns):
-            if s == d:
-                continue  # on-shard columns read directly from the band
-            u = np.unique(lid[real & (src == s)])
-            needed[d, s] = u
-            h_max = max(h_max, len(u))
+    needed = _pair_boundaries(sg)
+    h_max = max(1, max(len(u) for u in needed.values())) if needed else 1
     h_max = _round_up(h_max, 8)
 
     send_idx = np.zeros((ns, ns, h_max), dtype=np.int32)
     col_remap = np.zeros((ns, e_max), dtype=np.int32)
     for d in range(ns):
-        src = cols[d] // rps
-        lid = cols[d] % rps
-        real = vals[d] != 0
+        order, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps,
+                                                    ns)
         for s in range(ns):
-            sel = src == s
+            slots = order[seg[s]:seg[s + 1]]
+            lids = lid_sorted[seg[s]:seg[s + 1]]
             if s == d:
-                col_remap[d, sel] = ns * h_max + lid[sel]
+                col_remap[d, slots] = ns * h_max + lids
                 continue
             u = needed[d, s]
             send_idx[s, d, :len(u)] = u
-            pos = np.searchsorted(u, lid[sel])
-            # real edges must resolve exactly; padding edges just need to
-            # stay in range (their val is 0)
-            pos = np.minimum(pos, max(len(u) - 1, 0))
-            if len(u):
-                ok = u[pos[real[sel]]] == lid[sel][real[sel]]
-                assert ok.all(), "halo plan missed a referenced boundary row"
-            col_remap[d, sel] = s * h_max + pos
+            pos = np.searchsorted(u, lids)
+            if len(lids):
+                assert np.array_equal(u[pos], lids), \
+                    "halo plan missed a referenced boundary row"
+            col_remap[d, slots] = s * h_max + pos
+            # padding slots keep col_remap 0 (their val is 0)
     return HaloPlan(
         send_idx=jnp.asarray(send_idx), col_remap=jnp.asarray(col_remap),
         h_max=h_max, n_shards=ns, n_rows=sg.n_rows,
