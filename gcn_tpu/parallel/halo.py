@@ -147,18 +147,23 @@ def _shard_edge_groups(cols_d, vals_d, rps, ns):
 
 
 def _pair_boundaries(sg: ShardedGraph):
-    """needed[d, s] = sorted unique local ids on shard s that shard d's
-    edges reference (s != d)."""
+    """``(needed, groups)``: needed[d, s] = sorted unique local ids on
+    shard s that shard d's edges reference (s != d); groups[d] the
+    ``_shard_edge_groups`` tuple for shard d, returned so the builders'
+    col_remap loops reuse the one source-sort instead of re-sorting."""
     ns, rps = sg.n_shards, sg.rows_per_shard
     cols = np.asarray(sg.cols)
     vals = np.asarray(sg.vals)
     needed = {}
+    groups = []
     for d in range(ns):
-        _, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps, ns)
+        grp = _shard_edge_groups(cols[d], vals[d], rps, ns)
+        groups.append(grp)
+        _, seg, lid_sorted = grp
         for s in range(ns):
             if s != d:
                 needed[d, s] = np.unique(lid_sorted[seg[s]:seg[s + 1]])
-    return needed
+    return needed, groups
 
 
 def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
@@ -167,7 +172,7 @@ def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
     cols = np.asarray(sg.cols)
     vals = np.asarray(sg.vals)
     e_max = cols.shape[1]
-    needed = _pair_boundaries(sg)
+    needed, groups = _pair_boundaries(sg)
 
     sizes = []
     for t in range(1, ns):
@@ -193,8 +198,7 @@ def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
             send_idx[s, o:o + len(u)] = u
             o += sizes[t - 1]
     for d in range(ns):
-        order, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps,
-                                                    ns)
+        order, seg, lid_sorted = groups[d]
         for s in range(ns):
             slots = order[seg[s]:seg[s + 1]]
             lids = lid_sorted[seg[s]:seg[s + 1]]
@@ -286,7 +290,7 @@ def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
     cols = np.asarray(sg.cols)
     vals = np.asarray(sg.vals)
     e_max = cols.shape[1]
-    needed = _pair_boundaries(sg)
+    needed, groups = _pair_boundaries(sg)
 
     # intra-host: ragged per-chip-offset sizes (max over hosts AND chips)
     intra_sizes = []
@@ -351,8 +355,7 @@ def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
     col_remap = np.zeros((ns, e_max), dtype=np.int32)
     for d in range(ns):
         hd, cd = divmod(d, n_chips)
-        order, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps,
-                                                    ns)
+        order, seg, lid_sorted = groups[d]
         for s in range(ns):
             slots = order[seg[s]:seg[s + 1]]
             lids = lid_sorted[seg[s]:seg[s + 1]]
@@ -388,15 +391,14 @@ def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
     vals = np.asarray(sg.vals)
     e_max = cols.shape[1]
 
-    needed = _pair_boundaries(sg)
+    needed, groups = _pair_boundaries(sg)
     h_max = max(1, max(len(u) for u in needed.values())) if needed else 1
     h_max = _round_up(h_max, 8)
 
     send_idx = np.zeros((ns, ns, h_max), dtype=np.int32)
     col_remap = np.zeros((ns, e_max), dtype=np.int32)
     for d in range(ns):
-        order, seg, lid_sorted = _shard_edge_groups(cols[d], vals[d], rps,
-                                                    ns)
+        order, seg, lid_sorted = groups[d]
         for s in range(ns):
             slots = order[seg[s]:seg[s + 1]]
             lids = lid_sorted[seg[s]:seg[s + 1]]

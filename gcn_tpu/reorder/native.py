@@ -64,7 +64,9 @@ def _try_load() -> Optional[ctypes.CDLL]:
             i32p, i32p, f32p,                  # out indptr/indices/data
         ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale .so (rebuild failed above) predating one
+        # of the exported symbols — treat as unavailable, don't crash
         _load_failed = True
     return _lib
 

@@ -38,9 +38,6 @@ import numpy as np
 from gcn_tpu.graph.csr import CSRGraph
 from gcn_tpu.tile.ell import DEFAULT_K_PAD, EllAdj, ell_adjacency
 
-# the measured residency envelope (ops/ell_spmm.py:_TABLE_BUDGET_BYTES)
-_BUDGET = 100 * 1024 * 1024
-
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -60,7 +57,9 @@ class FreqSplitAdj:
     gathers saved."""
 
     hot: EllAdj    # (n_rows, hot_rows): columns < hot_rows
-    cold: EllAdj   # (n_rows, n_cols - hot_rows): columns shifted by -H
+    # (n_rows, n_cols - hot_rows), columns shifted by -H; None when the
+    # whole table fits hot (hot_rows == n_cols — no cold part)
+    cold: EllAdj
     hot_unperm: jnp.ndarray    # int32[n_rows]: global row -> hot-part row
     cold_unperm: jnp.ndarray   # int32[n_rows]
     hot_rows: int
@@ -79,17 +78,28 @@ class FreqSplitAdj:
 
 
 def default_hot_rows(n_cols: int, table_bf16: bool = False) -> int:
-    """Hot-table height chosen so hot (unpacked) AND cold (packed q=4)
-    tables CO-FIT the residency envelope — they alternate accesses, so
-    they share it: measured on synth-amazon bf16, hot 52 MB + cold 87 MB
-    runs the cold gather at 7.2 ns/slot while hot 105 MB + cold 74 MB
-    thrashes to 13.7. Solves hot + (n_cols - hot)/4 <= ~1.4x envelope
-    rows; falls back to half the envelope when n_cols alone overflows
-    it."""
+    """Hot-table height: HALF the residency envelope — the measured
+    optimum of the synth-amazon H-sweep (bf16, n=1.57M, chained
+    protocol; all with the global row order kept):
+
+        H rows   hot table   total ms   vs single-table bf16 (215.7)
+        204800      52 MB      203.9       1.06x  <- envelope/2
+        286720      74 MB      228.3       0.94x  (old co-fit default)
+        409600     105 MB      302.5       0.71x  (cold thrashes, 13.7
+                                                   ns/slot vs 7.2)
+
+    hot (unpacked) and cold (packed) tables alternate accesses, so they
+    CO-occupy the envelope; pushing hot past half of it evicts the cold
+    table faster than the extra unpacked coverage pays back. When the
+    whole table fits the envelope there is nothing to split — returns
+    n_cols (ell_adjacency_freq then builds no cold part)."""
+    # the authoritative residency envelope — the same constant that
+    # drives the single-table adaptive q
+    from gcn_tpu.ops.ell_spmm import _TABLE_BUDGET_BYTES
+
     dsize = 2 if table_bf16 else 4
-    budget_rows = int(1.4 * _BUDGET) // (128 * dsize)
-    hot = (budget_rows - n_cols // 4) * 4 // 3
-    hot = max(hot, budget_rows // 2)
+    raw = _TABLE_BUDGET_BYTES // (128 * dsize)
+    hot = n_cols if n_cols <= raw else raw // 2
     return max(8, min(hot, n_cols)) // 8 * 8
 
 
@@ -149,11 +159,16 @@ def ell_adjacency_freq(
         return sorted_csr, jnp.asarray(unperm)
 
     hot_g, hot_unperm = part(mask, hot_rows, 0)
-    cold_g, cold_unperm = part(~mask, m - hot_rows, hot_rows)
     hot = ell_adjacency(hot_g, symmetric=False, table_bf16=table_bf16,
                         **kw)
-    cold = ell_adjacency(cold_g, symmetric=False, table_bf16=table_bf16,
-                         **kw)
+    if hot_rows == m:
+        # whole table fits the hot prefix — no cold part (the container
+        # keeps single-table semantics so callers need no special case)
+        cold = cold_unperm = None
+    else:
+        cold_g, cold_unperm = part(~mask, m - hot_rows, hot_rows)
+        cold = ell_adjacency(cold_g, symmetric=False,
+                             table_bf16=table_bf16, **kw)
     return FreqSplitAdj(hot=hot, cold=cold,
                         hot_unperm=hot_unperm, cold_unperm=cold_unperm,
                         hot_rows=hot_rows,
@@ -169,6 +184,8 @@ def spmm_ell_freq(fs: FreqSplitAdj, x: jnp.ndarray) -> jnp.ndarray:
     hot = spmm_ell(fs.hot, x[:fs.hot_rows])
     if fs.hot_unperm is not None:
         hot = jnp.take(hot, fs.hot_unperm, axis=0)
+    if fs.cold is None:
+        return hot
     cold = spmm_ell(fs.cold, x[fs.hot_rows:])
     if fs.cold_unperm is not None:
         cold = jnp.take(cold, fs.cold_unperm, axis=0)

@@ -53,7 +53,9 @@ def _try_load() -> Optional[ctypes.CDLL]:
                                  ctypes.c_int64, ctypes.c_int64,
                                  _i32p, _f32p, _i32p]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError: a stale .so (rebuild failed above) missing one
+        # of the exported symbols — treat as unavailable, don't crash
         _load_failed = True
     return _lib
 

@@ -505,3 +505,26 @@ def test_freq_split_matches_single_table(rng):
     gx_r = jax.grad(lambda xx: jnp.sum(spmm_ell(adj, xx) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_freq_split_empty_cold_part(rng):
+    """hot_rows covering every column (what default_hot_rows returns for
+    any graph under the residency budget) must degrade to single-table
+    behavior, not crash on an empty cold CSR."""
+    from gcn_tpu.tile import ell_adjacency_freq, spmm_ell_freq
+
+    n = 64
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    g = coo_to_csr(dst, src, rng.random(400).astype(np.float32),
+                   (n, n)).symmetrize(binarize=False)
+    g = g.permute(degree_sort_order(g))
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+
+    for hot in (n, 10 * n, None):   # explicit == m, clamped, default
+        fs = ell_adjacency_freq(g, hot_rows=hot, r=16, k_pad=32)
+        assert fs.cold is None and fs.hot_rows == n
+        out = np.asarray(spmm_ell_freq(fs, x))
+        ref = np.asarray(spmm_ell(ell_adjacency(g, r=16, k_pad=32,
+                                                symmetric=True), x))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)

@@ -161,3 +161,26 @@ def test_order_file_roundtrip(tmp_path, rng):
     rank = np.empty(57, dtype=np.int64)
     rank[perm] = np.arange(57)
     np.testing.assert_array_equal(on_disk, rank)
+
+
+def test_stale_so_missing_symbol_degrades(monkeypatch):
+    """A stale .so that loads but lacks a newer exported symbol (e.g. a
+    pre-round-3 binary without gcn_csr_permute, kept alive by a failed
+    rebuild) must make the native path report unavailable — not raise
+    AttributeError out of available()."""
+    import ctypes
+
+    from gcn_tpu.reorder import native
+
+    class _StaleLib:
+        gcn_reorder = object()   # present
+
+        def __getattr__(self, name):  # everything else missing
+            raise AttributeError(f"undefined symbol: {name}")
+
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    monkeypatch.setattr(ctypes, "CDLL", lambda *a, **k: _StaleLib())
+    assert native.available() is False
+    # reset the module cache so later tests rebuild the real library
+    monkeypatch.setattr(native, "_load_failed", False)
