@@ -46,6 +46,11 @@ def main():
                          "error on the aggregation (tile/ell.py)")
     ap.add_argument("--products-bf16", action="store_true",
                     help="bf16 gather products on the Pallas-reduce paths")
+    ap.add_argument("--freq-split", action="store_true",
+                    help="frequency-split gather table (resident hot "
+                         "column prefix + packed cold tail) for graphs "
+                         "past the residency envelope (tile/freq_split.py; "
+                         "measured win at synth-amazon scale)")
     ap.add_argument("--save-state", default=None,
                     help="after fit, save the FULL resumable training "
                          "state (params+optimizer+iteration)")
@@ -77,6 +82,8 @@ def main():
         adj_options["table_bf16"] = True
     if args.products_bf16:
         adj_options["products_bf16"] = True
+    if args.freq_split:
+        adj_options["freq_split"] = True
     if args.span_limit is not None:
         adj_options["span_pass_limit"] = args.span_limit
     model = GCN(

@@ -158,8 +158,14 @@ def device_adjacency(g: CSRGraph, kind: str = "auto", **kwargs):
     if kind == "coo":
         return coo_adjacency(g, **kwargs)
     if kind == "ell":
-        from gcn_tpu.tile import ell_adjacency
+        from gcn_tpu.tile import ell_adjacency, ell_adjacency_freq
 
+        if kwargs.pop("freq_split", False):
+            # frequency-split two-table form for the >1M-row gather
+            # regime (tile/freq_split.py); its parts are rectangular, so
+            # the symmetric-alias option does not apply
+            kwargs.pop("symmetric", None)
+            return ell_adjacency_freq(g, **kwargs)
         return ell_adjacency(g, **kwargs)
     if kind == "panel":
         raise ValueError(

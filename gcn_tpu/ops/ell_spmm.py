@@ -111,6 +111,12 @@ def _ell_reduce(win, products, *, r: int, k_pad: int, n_rows: int):
 #                                 q=2 5.2 ns (76.8 ms, 1.8x over q=4),
 #                                 yelp f32 q=4 10.2 ns
 # bf16 tables halve every footprint, so table_bf16 halves the q needed.
+# Far past the envelope (q saturated at 4, e.g. synth-amazon 1.57M rows)
+# the frequency-split two-table form is the measured winner: hot column
+# prefix resident at envelope/2 + packed cold tail, 203.9 ms vs 215.7
+# single-table bf16 q=4 on amazon k32 (tile/freq_split.py,
+# results/freq_split_amazon.json); enable with adj_options
+# {"freq_split": True} (train_gcn --freq-split).
 _TABLE_BUDGET_BYTES = 100 * 1024 * 1024
 
 

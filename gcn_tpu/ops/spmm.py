@@ -117,11 +117,16 @@ def spmm(adj, x: jnp.ndarray) -> jnp.ndarray:
     # Tiled formats — imported lazily to avoid a package cycle.
     from gcn_tpu.tile.ell import EllAdj
     from gcn_tpu.tile.format import PanelAdj
+    from gcn_tpu.tile.freq_split import FreqSplitAdj
 
     if isinstance(adj, EllAdj):
         from gcn_tpu.ops.ell_spmm import spmm_ell
 
         return spmm_ell(adj, x)
+    if isinstance(adj, FreqSplitAdj):
+        from gcn_tpu.tile.freq_split import spmm_ell_freq
+
+        return spmm_ell_freq(adj, x)
     if isinstance(adj, PanelAdj):
         from gcn_tpu.ops.panel_spmm import spmm_panel
 

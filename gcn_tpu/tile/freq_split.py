@@ -73,6 +73,12 @@ class FreqSplitAdj:
         return (self.n_rows, self.n_cols)
 
     @property
+    def k_pad(self) -> int:
+        """Widest supported feature chunk (both parts share it) — lets
+        hoist_spmm pick its column chunk like for a plain EllAdj."""
+        return self.hot.k_pad
+
+    @property
     def hot_edge_fraction(self) -> float:
         return self.hot_nnz / max(self.nnz, 1)
 

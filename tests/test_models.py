@@ -278,3 +278,27 @@ def test_spmm_shape_mismatch_raises(rng):
     adj = device_adjacency(g, "dense")
     with _pytest.raises(ValueError, match="shape mismatch"):
         spmm(adj, jnp.zeros((21, 4)))
+
+
+def test_freq_split_model_trains_and_matches_ell(data):
+    """adj_options={'freq_split': True} trains the model through the
+    frequency-split adjacency (device_adjacency dispatch + spmm branch +
+    custom VJP) and agrees with the plain ELL path."""
+    kw = dict(variant="v6", adj_kind="ell", reorder="rabbit", seed=0,
+              dropout=0.0)
+    base = GCN(data.num_features, 16, data.num_classes, **kw)
+    base.fit(data.features, data.adj, data.labels, data.idx_train,
+             train_iters=40)
+    # hot_rows below n forces a real two-table split on this small graph
+    fs = GCN(data.num_features, 16, data.num_classes,
+             adj_options={"freq_split": True, "hot_rows": 64}, **kw)
+    fs.fit(data.features, data.adj, data.labels, data.idx_train,
+           train_iters=40)
+    from gcn_tpu.tile.freq_split import FreqSplitAdj
+
+    assert isinstance(fs.adj_norm, FreqSplitAdj)
+    assert fs.adj_norm.cold is not None
+    assert fs.test(data.idx_test, verbose=False) > 0.7
+    np.testing.assert_allclose(np.asarray(base.output),
+                               np.asarray(fs.output),
+                               rtol=2e-2, atol=2e-2)
