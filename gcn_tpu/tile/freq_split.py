@@ -82,6 +82,32 @@ class FreqSplitAdj:
     def hot_edge_fraction(self) -> float:
         return self.hot_nnz / max(self.nnz, 1)
 
+    def validate(self) -> None:
+        """Format-invariant walker over the split (extends
+        EllAdj.validate, the reference safety_check analogue): both
+        parts' internal invariants plus the split bookkeeping."""
+        assert 0 < self.hot_rows <= self.n_cols, "hot_rows out of range"
+        assert self.hot.shape == (self.n_rows, self.hot_rows), \
+            "hot part shape mismatch"
+        self.hot.validate()
+        if self.cold is None:
+            assert self.hot_rows == self.n_cols, \
+                "missing cold part despite hot_rows < n_cols"
+            assert self.hot_nnz == self.nnz, \
+                "edges lost: no cold part but hot_nnz < nnz"
+        else:
+            assert self.cold.shape == (self.n_rows,
+                                       self.n_cols - self.hot_rows), \
+                "cold part shape mismatch"
+            self.cold.validate()
+            assert self.hot.nnz + self.cold.nnz == self.nnz, \
+                "edges lost across the split"
+        for unperm in (self.hot_unperm, self.cold_unperm):
+            if unperm is not None:
+                u = np.sort(np.asarray(unperm))
+                assert (u == np.arange(self.n_rows)).all(), \
+                    "un-permute map is not a permutation"
+
 
 def default_hot_rows(n_cols: int, table_bf16: bool = False) -> int:
     """Hot-table height: HALF the residency envelope — the measured

@@ -496,6 +496,7 @@ def test_freq_split_matches_single_table(rng):
 
     adj = ell_adjacency(g, r=16, k_pad=32, symmetric=True)
     fs = ell_adjacency_freq(g, hot_rows=64, r=16, k_pad=32)
+    fs.validate()
     assert 0.0 < fs.hot_edge_fraction < 1.0
     out = np.asarray(spmm_ell_freq(fs, x))
     ref = np.asarray(spmm_ell(adj, x))
@@ -523,6 +524,7 @@ def test_freq_split_empty_cold_part(rng):
 
     for hot in (n, 10 * n, None):   # explicit == m, clamped, default
         fs = ell_adjacency_freq(g, hot_rows=hot, r=16, k_pad=32)
+        fs.validate()
         assert fs.cold is None and fs.hot_rows == n
         out = np.asarray(spmm_ell_freq(fs, x))
         ref = np.asarray(spmm_ell(ell_adjacency(g, r=16, k_pad=32,
