@@ -153,6 +153,9 @@ def device_adjacency(g: CSRGraph, kind: str = "auto", **kwargs):
     """
     if kind == "auto":
         kind = "dense" if max(g.shape) <= 8192 else "coo"
+    if kwargs.get("freq_split") and kind != "ell":
+        raise ValueError(
+            f"freq_split requires kind='ell' (resolved kind is {kind!r})")
     if kind == "dense":
         return dense_adjacency(g)
     if kind == "coo":

@@ -100,6 +100,8 @@ class FreqSplitAdj:
                                        self.n_cols - self.hot_rows), \
                 "cold part shape mismatch"
             self.cold.validate()
+            assert self.hot.nnz == self.hot_nnz, \
+                "hot_nnz bookkeeping drifted from the hot part"
             assert self.hot.nnz + self.cold.nnz == self.nnz, \
                 "edges lost across the split"
         for unperm in (self.hot_unperm, self.cold_unperm):
@@ -131,8 +133,9 @@ def default_hot_rows(n_cols: int, table_bf16: bool = False) -> int:
 
     dsize = 2 if table_bf16 else 4
     raw = _TABLE_BUDGET_BYTES // (128 * dsize)
-    hot = n_cols if n_cols <= raw else raw // 2
-    return max(8, min(hot, n_cols)) // 8 * 8
+    if n_cols <= raw:
+        return n_cols   # unrounded: hot_rows == n_cols means NO split
+    return max(8, min(raw // 2, n_cols)) // 8 * 8
 
 
 def ell_adjacency_freq(

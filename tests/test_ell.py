@@ -510,23 +510,40 @@ def test_freq_split_matches_single_table(rng):
 
 def test_freq_split_empty_cold_part(rng):
     """hot_rows covering every column (what default_hot_rows returns for
-    any graph under the residency budget) must degrade to single-table
-    behavior, not crash on an empty cold CSR."""
+    any graph under the residency budget — including n NOT a multiple of
+    8) must degrade to single-table behavior, not crash on an empty cold
+    CSR or build a spurious few-column cold part."""
     from gcn_tpu.tile import ell_adjacency_freq, spmm_ell_freq
+    from gcn_tpu.tile.freq_split import default_hot_rows
 
-    n = 64
-    src = rng.integers(0, n, 400)
-    dst = rng.integers(0, n, 400)
-    g = coo_to_csr(dst, src, rng.random(400).astype(np.float32),
-                   (n, n)).symmetrize(binarize=False)
-    g = g.permute(degree_sort_order(g))
-    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    for n in (64, 61):   # aligned and unaligned under-budget heights
+        assert default_hot_rows(n) == n
+        src = rng.integers(0, n, 400)
+        dst = rng.integers(0, n, 400)
+        g = coo_to_csr(dst, src, rng.random(400).astype(np.float32),
+                       (n, n)).symmetrize(binarize=False)
+        g = g.permute(degree_sort_order(g))
+        x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
 
-    for hot in (n, 10 * n, None):   # explicit == m, clamped, default
-        fs = ell_adjacency_freq(g, hot_rows=hot, r=16, k_pad=32)
-        fs.validate()
-        assert fs.cold is None and fs.hot_rows == n
-        out = np.asarray(spmm_ell_freq(fs, x))
-        ref = np.asarray(spmm_ell(ell_adjacency(g, r=16, k_pad=32,
-                                                symmetric=True), x))
-        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+        for hot in (n, 10 * n, None):   # explicit == m, clamped, default
+            fs = ell_adjacency_freq(g, hot_rows=hot, r=16, k_pad=32)
+            fs.validate()
+            assert fs.cold is None and fs.hot_rows == n
+            out = np.asarray(spmm_ell_freq(fs, x))
+            ref = np.asarray(spmm_ell(ell_adjacency(g, r=16, k_pad=32,
+                                                    symmetric=True), x))
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_freq_split_wrong_kind_raises(rng):
+    """device_adjacency rejects freq_split for non-ell kinds instead of
+    silently dropping it (dense) or raising an opaque TypeError (coo)."""
+    import pytest as _pytest
+
+    from gcn_tpu.ops.adjacency import device_adjacency
+
+    g = coo_to_csr(rng.integers(0, 32, 100), rng.integers(0, 32, 100),
+                   rng.random(100).astype(np.float32), (32, 32))
+    for kind in ("dense", "coo", "auto"):
+        with _pytest.raises(ValueError, match="freq_split requires"):
+            device_adjacency(g, kind, freq_split=True)
