@@ -10,10 +10,19 @@ environment run with fake devices to validate the harness:
     PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python examples/bench_scaling.py --devices 1 2 4 8 --kernel segsum
+
+`--project` switches to the analytic pod-slice projection
+(gcn_tpu/parallel/projection.py): the REAL halo plans are built host-side
+at each device count (no devices needed — works at 256 shards on this
+one-chip container) and the exchanged bytes are converted to projected
+weak-scaling efficiency under stated bandwidth assumptions:
+
+    python examples/bench_scaling.py --project --devices 8 32 128 256
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -89,6 +98,38 @@ def bench_devices(d, nodes_per_device, steps, kernel, exchange, seed=0):
     return (time.perf_counter() - t0) / steps, stats
 
 
+def run_projection(args):
+    # host-side only; never let jax reach for the TPU relay
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from gcn_tpu.parallel.projection import (DEFAULTS,
+                                             project_weak_scaling)
+
+    counts = args.devices or [8, 32, 128, 256]
+    rows = project_weak_scaling(
+        counts, nodes_per_device=args.nodes_per_device,
+        chips_per_host=args.chips_per_host, bw_ici=args.bw_ici,
+        bw_dcn=args.bw_dcn, spmm_edges_per_s=args.spmm_rate)
+    out = {
+        "assumptions": {
+            **{k: v for k, v in DEFAULTS.items()
+               if k not in ("bw_ici", "bw_dcn", "spmm_edges_per_s")},
+            "bw_ici_B_per_s": args.bw_ici, "bw_dcn_B_per_s": args.bw_dcn,
+            "spmm_edges_per_s": args.spmm_rate,
+            "nodes_per_device": args.nodes_per_device,
+            "note": "byte counts are exact plan outputs; only the "
+                    "time conversion is modeled (module docstring)",
+        },
+        "rows": [r.to_json() for r in rows],
+    }
+    for r in out["rows"]:
+        print(json.dumps(r))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.out}")
+    return 0
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--devices", type=int, nargs="*", default=None,
@@ -99,7 +140,21 @@ def main():
     ap.add_argument("--exchange", default="halo",
                     choices=["halo", "halo_padded", "halo_hier",
                              "all_gather"])
+    ap.add_argument("--project", action="store_true",
+                    help="analytic pod-slice projection (no devices)")
+    ap.add_argument("--chips-per-host", type=int, default=8)
+    ap.add_argument("--bw-ici", type=float, default=9.0e10,
+                    help="assumed per-chip ICI bandwidth, B/s")
+    ap.add_argument("--bw-dcn", type=float, default=6.25e9,
+                    help="assumed per-chip DCN bandwidth, B/s")
+    ap.add_argument("--spmm-rate", type=float, default=346e6,
+                    help="measured single-chip SpMM edges/s (bench.py)")
+    ap.add_argument("--out", default=None,
+                    help="write the full projection JSON here")
     args = ap.parse_args()
+
+    if args.project:
+        return run_projection(args)
 
     import jax
 
