@@ -103,8 +103,13 @@ class HGNN:
 
     def _lower(self, g_csr: CSRGraph):
         kind = self.adj_kind
-        if kind == "auto" and max(g_csr.shape) > 8192:
-            # large hypergraph: packed-ELL kernel at the HGNN hidden width
+        if kind == "auto" and g_csr.shape[0] * g_csr.shape[1] > 8192 ** 2:
+            # large hypergraph: packed-ELL kernel at the HGNN hidden
+            # width. The cutoff is dense-AREA (footprint), not
+            # max-dimension: TwoHopAdj factors are rectangular
+            # (n_vertices x n_edges), and a tall-skinny factor whose
+            # dense form still fits the 8192^2-equivalent budget runs
+            # faster as one MXU matmul than as a per-nnz gather.
             kind = "ell"
         if kind == "ell":
             return device_adjacency(

@@ -145,14 +145,21 @@ def dense_adjacency(g: CSRGraph) -> DenseAdj:
 def device_adjacency(g: CSRGraph, kind: str = "auto", **kwargs):
     """Lower a host CSRGraph to a device representation.
 
-    kind: "dense" | "coo" | "ell" | "auto" (dense when n <= 8192 else
-    coo). "panel" (the one-hot MXU alternate) is demoted to a test-side
+    kind: "dense" | "coo" | "ell" | "auto". "auto" picks dense while the
+    materialized matrix stays within an 8192x8192-equivalent footprint
+    (256 MB f32) and coo beyond it — the threshold is AREA-based, not
+    max-dimension, so rectangular operators (hypergraph factors, halo
+    blocks) with one long axis but a small dense footprint still take
+    the MXU path: a 100k x 64 factor is 25 MB dense and one streaming
+    matmul, where a gather kernel would touch every nnz individually.
+    Square graphs behave exactly as before (n <= 8192 -> dense).
+    "panel" (the one-hot MXU alternate) is demoted to a test-side
     reference implementation — strictly dominated by "ell" on every
     measurement (docs/ROADMAP.md); tests build it via
     gcn_tpu.tile.panel_adjacency directly.
     """
     if kind == "auto":
-        kind = "dense" if max(g.shape) <= 8192 else "coo"
+        kind = "dense" if g.shape[0] * g.shape[1] <= 8192 ** 2 else "coo"
     if kwargs.get("freq_split") and kind != "ell":
         raise ValueError(
             f"freq_split requires kind='ell' (resolved kind is {kind!r})")

@@ -101,3 +101,23 @@ def test_empty_rows(rng):
     out = spmm(coo_adjacency(g), x)
     assert float(out[5, 0]) == 2.0
     assert float(jnp.abs(out).sum()) == 6.0
+
+
+def test_auto_lowering_is_area_based(rng):
+    """'auto' picks dense by materialized AREA, not max dimension: a
+    tall-skinny operator (hypergraph factor shape) with a small dense
+    footprint takes the MXU path even though one axis is long, while
+    anything past the 8192^2-equivalent footprint falls back to coo.
+    Square graphs keep the historical n <= 8192 cutoff exactly.
+    """
+    from gcn_tpu.ops.adjacency import CooAdj, DenseAdj, device_adjacency
+
+    def lowered(shape):
+        g = coo_to_csr([0], [0], [1.0], shape)
+        return device_adjacency(g, "auto")
+
+    assert isinstance(lowered((8192, 8192)), DenseAdj)     # at the cutoff
+    assert isinstance(lowered((8193, 8193)), CooAdj)       # just past it
+    assert isinstance(lowered((20000, 64)), DenseAdj)      # tall-skinny
+    assert isinstance(lowered((64, 20000)), DenseAdj)      # short-wide
+    assert isinstance(lowered((20000, 20000)), CooAdj)     # big square
