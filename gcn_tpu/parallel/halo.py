@@ -420,18 +420,27 @@ def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
 
 
 def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
-                          axis_name):
+                          axis_name, pre=None):
     """Per-offset ppermute exchange -> (8 + sum(sizes), k) halo table.
 
     The leading 8 rows are zeros (padding-edge target). One gather covers
     every send segment; the per-offset ring shifts are independent, so
     XLA is free to overlap them (and, in the overlap variants, to run
-    them behind the interior aggregation)."""
+    them behind the interior aggregation).
+
+    ``pre`` (optional) is applied to the GATHERED send rows before the
+    collectives launch — the boundary-rows-first trick: when the caller
+    passes ``rows -> rows @ W``, the exchanged payload is the (narrow)
+    transformed rows and the collective's only data dependency is a
+    small gather + small matmul, so the full-band ``X @ W`` and the
+    interior aggregation are both free to run UNDER the exchange
+    (dist_spmm_halo_ell_overlap_xw)."""
     send_idx, _ = plan_arrays
     send_idx = send_idx.reshape(-1)            # (sum(sizes),)
-    k = x_band.shape[1]
     rows = jnp.take(x_band, send_idx, axis=0)
-    parts = [jnp.zeros((8, k), x_band.dtype)]
+    if pre is not None:
+        rows = pre(rows)
+    parts = [jnp.zeros((8, rows.shape[1]), rows.dtype)]
     off = 0
     for t, h in enumerate(sizes, start=1):
         if h == 0:
@@ -443,18 +452,20 @@ def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
 
 
 def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
-                        plan_arrays, x_band, axis_name):
+                        plan_arrays, x_band, axis_name, pre=None):
     """Two-level exchange (HierHaloPlan): ragged chip-offset ppermutes
     for same-host boundaries, then per-host-offset ppermutes of the
     UNION rows over the host axis (DCN) and one all_gather fan-out over
-    the chip axis (ICI). ``axis_name`` must be the (host, chip) tuple."""
+    the chip axis (ICI). ``axis_name`` must be the (host, chip) tuple.
+    ``pre`` as in _exchange_halo_ragged (applied to both send sets)."""
     host_axis, chip_axis = axis_name
     send_intra, send_inter, _ = plan_arrays
     send_intra = send_intra.reshape(-1)
     send_inter = send_inter.reshape(-1)
-    k = x_band.shape[1]
-    parts = [jnp.zeros((8, k), x_band.dtype)]
     rows_i = jnp.take(x_band, send_intra, axis=0)
+    if pre is not None:
+        rows_i = pre(rows_i)
+    parts = [jnp.zeros((8, rows_i.shape[1]), rows_i.dtype)]
     off = 0
     for t, h in enumerate(intra_sizes, start=1):
         if h == 0:
@@ -464,6 +475,8 @@ def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
                                       perm))
         off += h
     rows_e = jnp.take(x_band, send_inter, axis=0)
+    if pre is not None:
+        rows_e = pre(rows_e)
     recvs = []
     off = 0
     for th, h in enumerate(inter_sizes, start=1):
@@ -625,14 +638,16 @@ def unstack_ell_shard(adj_stacked):
                   products_bf16=adj_stacked.products_bf16)
 
 
-def _exchange_halo(plan_arrays, x_band, axis_name):
+def _exchange_halo(plan_arrays, x_band, axis_name, pre=None):
     send_idx, _ = plan_arrays
     ns_h = tuple(send_idx.shape[-2:])
     send_idx = send_idx.reshape(ns_h)
     send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
-    send = send.reshape(ns_h + (x_band.shape[1],))
+    if pre is not None:
+        send = pre(send)
+    send = send.reshape(ns_h + (send.shape[1],))
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
-    return recv.reshape(ns_h[0] * ns_h[1], x_band.shape[1])
+    return recv.reshape(ns_h[0] * ns_h[1], recv.shape[-1])
 
 
 def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,
@@ -666,5 +681,48 @@ def dist_spmm_halo_ell_overlap(ell_interior, ell_boundary, plan_arrays,
 
     halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name)
     interior = spmm_ell(ell_interior, x_band)
+    boundary = spmm_ell(ell_boundary, halo)
+    return interior + boundary
+
+
+def dist_spmm_halo_ell_overlap_xw(ell_interior, ell_boundary, plan_arrays,
+                                  x_band: jnp.ndarray, w: jnp.ndarray,
+                                  axis_name: str = "data",
+                                  exchange=None) -> jnp.ndarray:
+    """Fused ``A @ (X W)`` with a boundary-rows-first exchange.
+
+    dist_spmm_halo_ell_overlap hides the exchange behind the interior
+    aggregation only: its collective input is gathered from the ALREADY
+    transformed band, so the full (n_band x nfeat x nhid) matmul sits on
+    the collective's critical path. Here the send rows are gathered from
+    the RAW band and transformed by a small (halo_rows x nfeat x nhid)
+    matmul inside the exchange (the ``pre`` hook), so the collective
+    launches immediately and BOTH the full-band transform and the
+    interior aggregation run under it:
+
+        halo     = exchange(gather(x) @ w)    # small dot, async collective
+        h        = x @ w                      # big dot — overlaps exchange
+        interior = A_int @ h                  #           overlaps exchange
+        boundary = A_bnd @ halo
+        out      = interior + boundary
+
+    The boundary rows' transform is computed twice (once in the send
+    path, once inside the big dot) — halo_rows/n_band extra MXU work,
+    a fraction of a percent at production shard sizes — and the result
+    is the same function of (x, w) as transform-then-exchange, so
+    gradients match the unfused path (pinned in tests/test_parallel.py).
+    This is the widened overlap window the weak-scaling projection
+    (docs/RESULTS_r3.md) identifies as the multi-host lever: on the
+    8-shard arxiv plan the exchange can hide behind ~n_band*nfeat*nhid
+    MXU flops instead of interior-gather time alone."""
+    from gcn_tpu.ops.ell_spmm import spmm_ell
+
+    def pre(rows):
+        return jnp.dot(rows, w, preferred_element_type=rows.dtype)
+
+    halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name,
+                                        pre=pre)
+    h = jnp.dot(x_band, w, preferred_element_type=x_band.dtype)
+    interior = spmm_ell(ell_interior, h)
     boundary = spmm_ell(ell_boundary, halo)
     return interior + boundary

@@ -22,8 +22,14 @@ Knobs:
                          SpMM (gcn_tpu.ops.ell_spmm); requires halo —
                          the default (flagship path)
   kernel="segsum"        XLA sorted-segment-sum (portable fallback)
-  overlap=True           interior/boundary split so local aggregation
-                         overlaps the halo all_to_all — the default
+  overlap=True           interior/boundary split so local work overlaps
+                         the exchange — the default. On a 1-D mesh this
+                         is the FUSED boundary-rows-first form
+                         (halo.dist_spmm_halo_ell_overlap_xw): send rows
+                         are transformed by a small gather+matmul so the
+                         collective launches before the full-band X@W,
+                         putting both the big dot and the interior
+                         aggregation under the exchange window
 
 New capability relative to the single-GPU reference (SURVEY.md §2d), shaped
 per BASELINE.md: edge partition + boundary exchange, aiming at >=90%
@@ -150,6 +156,7 @@ def make_sharded_gcn_train_step(
         plan_dev = (jnp.zeros((sg.n_shards, 1, 1), jnp.int32),
                     jnp.zeros((sg.n_shards, 1), jnp.int32))
 
+    band_spmm_xw = None   # set on the fused (ell + overlap) path only
     if kernel == "ell":
         assert halo_like, "kernel='ell' requires a halo exchange"
         from gcn_tpu.parallel.halo import (build_sharded_ell,
@@ -158,6 +165,8 @@ def make_sharded_gcn_train_step(
                                            unstack_ell_shard)
 
         if overlap:
+            from gcn_tpu.parallel.halo import dist_spmm_halo_ell_overlap_xw
+
             ell_int = build_sharded_ell(sg, plan, part="interior")
             ell_bnd = build_sharded_ell(sg, plan, part="boundary")
 
@@ -166,6 +175,14 @@ def make_sharded_gcn_train_step(
                 return dist_spmm_halo_ell_overlap(
                     unstack_ell_shard(e_int), unstack_ell_shard(e_bnd),
                     plan_shard, h, axis, exchange=ex_fn)
+
+            def band_spmm_xw(extra_shard, plan_shard, x, w):
+                # fused A @ (X W): boundary rows transform first so the
+                # exchange launches before the full-band matmul
+                e_int, e_bnd = extra_shard
+                return dist_spmm_halo_ell_overlap_xw(
+                    unstack_ell_shard(e_int), unstack_ell_shard(e_bnd),
+                    plan_shard, x, w, axis, exchange=ex_fn)
 
             extra_dev = (ell_int, ell_bnd)
         else:
@@ -198,7 +215,13 @@ def make_sharded_gcn_train_step(
         w2, b2 = params["gc2"]["w"], params["gc2"].get("b")
         # bias is added AFTER aggregation, matching GraphConvolution:
         # out = A (X W) + b (gcn1.py:52-57)
-        h = jnp.dot(x_band, w1, preferred_element_type=x_band.dtype)
+        fused = band_spmm_xw is not None and model_axis is None
+        if fused:
+            # boundary-rows-first exchange: the big X@W1 dot and the
+            # interior aggregation both run under the collective
+            h = band_spmm_xw(extra_shard, plan_shard, x_band, w1)
+        else:
+            h = jnp.dot(x_band, w1, preferred_element_type=x_band.dtype)
         if model_axis is not None:
             # x cols and w1 rows are model-sharded: the dot built partial
             # sums; reduce-scatter them into hidden shards so the halo
@@ -206,7 +229,8 @@ def make_sharded_gcn_train_step(
             # columns per chip
             h = jax.lax.psum_scatter(h, model_axis, scatter_dimension=1,
                                      tiled=True)
-        h = band_spmm(extra_shard, plan_shard, h)
+        if not fused:
+            h = band_spmm(extra_shard, plan_shard, h)
         if b1 is not None:
             h = h + b1
         if with_relu:
@@ -217,7 +241,9 @@ def make_sharded_gcn_train_step(
                     band_rng = jax.random.fold_in(
                         band_rng, jax.lax.axis_index(model_axis))
                 h = dropout_fn(band_rng, h, dropout, train=True)
-        if model_axis is None:
+        if fused:
+            h = band_spmm_xw(extra_shard, plan_shard, h, w2)
+        elif model_axis is None:
             h = jnp.dot(h, w2, preferred_element_type=h.dtype)
             h = band_spmm(extra_shard, plan_shard, h)
         else:
