@@ -108,13 +108,15 @@ def run_projection(args):
     rows = project_weak_scaling(
         counts, nodes_per_device=args.nodes_per_device,
         chips_per_host=args.chips_per_host, bw_ici=args.bw_ici,
-        bw_dcn=args.bw_dcn, spmm_edges_per_s=args.spmm_rate)
+        bw_dcn=args.bw_dcn, spmm_edges_per_s=args.spmm_rate,
+        bytes_per_elt=2 if args.halo_bf16 else 4)
     out = {
         "assumptions": {
             **{k: v for k, v in DEFAULTS.items()
                if k not in ("bw_ici", "bw_dcn", "spmm_edges_per_s")},
             "bw_ici_B_per_s": args.bw_ici, "bw_dcn_B_per_s": args.bw_dcn,
             "spmm_edges_per_s": args.spmm_rate,
+            "wire_bytes_per_elt": 2 if args.halo_bf16 else 4,
             "nodes_per_device": args.nodes_per_device,
             "note": "byte counts are exact plan outputs; only the "
                     "time conversion is modeled (module docstring)",
@@ -149,6 +151,9 @@ def main():
                     help="assumed per-chip DCN bandwidth, B/s")
     ap.add_argument("--spmm-rate", type=float, default=346e6,
                     help="measured single-chip SpMM edges/s (bench.py)")
+    ap.add_argument("--halo-bf16", action="store_true",
+                    help="project with exchange_dtype='bf16' (2 B/elt "
+                         "on the wire; parallel/train_step.py knob)")
     ap.add_argument("--out", default=None,
                     help="write the full projection JSON here")
     args = ap.parse_args()

@@ -420,7 +420,7 @@ def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
 
 
 def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
-                          axis_name, pre=None):
+                          axis_name, pre=None, wire_dtype=None):
     """Per-offset ppermute exchange -> (8 + sum(sizes), k) halo table.
 
     The leading 8 rows are zeros (padding-edge target). One gather covers
@@ -434,12 +434,22 @@ def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
     transformed rows and the collective's only data dependency is a
     small gather + small matmul, so the full-band ``X @ W`` and the
     interior aggregation are both free to run UNDER the exchange
-    (dist_spmm_halo_ell_overlap_xw)."""
+    (dist_spmm_halo_ell_overlap_xw).
+
+    ``wire_dtype`` (optional, e.g. jnp.bfloat16) casts the payload for
+    the collectives only — bytes on the wire halve, the halo table is
+    cast back to the compute dtype on arrival. One rounding step on
+    boundary rows; the weak-scaling projection shows the multi-host
+    regime is DCN-byte-bound, which is exactly what this trades against.
+    """
     send_idx, _ = plan_arrays
     send_idx = send_idx.reshape(-1)            # (sum(sizes),)
     rows = jnp.take(x_band, send_idx, axis=0)
     if pre is not None:
         rows = pre(rows)
+    out_dtype = rows.dtype
+    if wire_dtype is not None:
+        rows = rows.astype(wire_dtype)
     parts = [jnp.zeros((8, rows.shape[1]), rows.dtype)]
     off = 0
     for t, h in enumerate(sizes, start=1):
@@ -448,16 +458,19 @@ def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
         perm = [(s, (s + t) % n_shards) for s in range(n_shards)]
         parts.append(jax.lax.ppermute(rows[off:off + h], axis_name, perm))
         off += h
-    return jnp.concatenate(parts, axis=0)
+    return jnp.concatenate(parts, axis=0).astype(out_dtype)
 
 
 def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
-                        plan_arrays, x_band, axis_name, pre=None):
+                        plan_arrays, x_band, axis_name, pre=None,
+                        wire_dtype=None):
     """Two-level exchange (HierHaloPlan): ragged chip-offset ppermutes
     for same-host boundaries, then per-host-offset ppermutes of the
     UNION rows over the host axis (DCN) and one all_gather fan-out over
     the chip axis (ICI). ``axis_name`` must be the (host, chip) tuple.
-    ``pre`` as in _exchange_halo_ragged (applied to both send sets)."""
+    ``pre`` / ``wire_dtype`` as in _exchange_halo_ragged (applied to
+    both send sets; wire_dtype halves DCN union bytes AND the ICI
+    fan-out bytes)."""
     host_axis, chip_axis = axis_name
     send_intra, send_inter, _ = plan_arrays
     send_intra = send_intra.reshape(-1)
@@ -465,6 +478,9 @@ def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
     rows_i = jnp.take(x_band, send_intra, axis=0)
     if pre is not None:
         rows_i = pre(rows_i)
+    out_dtype = rows_i.dtype
+    if wire_dtype is not None:
+        rows_i = rows_i.astype(wire_dtype)
     parts = [jnp.zeros((8, rows_i.shape[1]), rows_i.dtype)]
     off = 0
     for t, h in enumerate(intra_sizes, start=1):
@@ -477,6 +493,8 @@ def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
     rows_e = jnp.take(x_band, send_inter, axis=0)
     if pre is not None:
         rows_e = pre(rows_e)
+    if wire_dtype is not None:
+        rows_e = rows_e.astype(wire_dtype)
     recvs = []
     off = 0
     for th, h in enumerate(inter_sizes, start=1):
@@ -493,20 +511,23 @@ def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
         # same-host peers (chip-major layout, matching col_remap)
         parts.append(jax.lax.all_gather(inter, chip_axis, axis=0,
                                         tiled=True))
-    return jnp.concatenate(parts, axis=0)
+    return jnp.concatenate(parts, axis=0).astype(out_dtype)
 
 
-def make_halo_exchange(plan):
+def make_halo_exchange(plan, wire_dtype=None):
     """exchange(plan_arrays, x_band, axis_name) -> halo rows, for any
     plan flavor (static metadata rides the closure; arrays stay jit
     arguments). For HierHaloPlan, axis_name must be the (host, chip)
-    axis-name tuple."""
+    axis-name tuple. ``wire_dtype`` (e.g. jnp.bfloat16) casts the
+    payload for the collectives only — see _exchange_halo_ragged."""
     if isinstance(plan, HierHaloPlan):
         return partial(_exchange_halo_hier, plan.intra_sizes,
-                       plan.inter_sizes, plan.n_hosts, plan.n_chips)
+                       plan.inter_sizes, plan.n_hosts, plan.n_chips,
+                       wire_dtype=wire_dtype)
     if isinstance(plan, RaggedHaloPlan):
-        return partial(_exchange_halo_ragged, plan.sizes, plan.n_shards)
-    return _exchange_halo
+        return partial(_exchange_halo_ragged, plan.sizes, plan.n_shards,
+                       wire_dtype=wire_dtype)
+    return partial(_exchange_halo, wire_dtype=wire_dtype)
 
 
 def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
@@ -638,16 +659,20 @@ def unstack_ell_shard(adj_stacked):
                   products_bf16=adj_stacked.products_bf16)
 
 
-def _exchange_halo(plan_arrays, x_band, axis_name, pre=None):
+def _exchange_halo(plan_arrays, x_band, axis_name, pre=None,
+                   wire_dtype=None):
     send_idx, _ = plan_arrays
     ns_h = tuple(send_idx.shape[-2:])
     send_idx = send_idx.reshape(ns_h)
     send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
     if pre is not None:
         send = pre(send)
+    out_dtype = send.dtype
+    if wire_dtype is not None:
+        send = send.astype(wire_dtype)
     send = send.reshape(ns_h + (send.shape[1],))
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
-    return recv.reshape(ns_h[0] * ns_h[1], recv.shape[-1])
+    return recv.reshape(ns_h[0] * ns_h[1], recv.shape[-1]).astype(out_dtype)
 
 
 def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,

@@ -22,6 +22,12 @@ Knobs:
                          SpMM (gcn_tpu.ops.ell_spmm); requires halo —
                          the default (flagship path)
   kernel="segsum"        XLA sorted-segment-sum (portable fallback)
+  exchange_dtype="bf16"  cast the exchange payload to bfloat16 on the
+                         wire only: ICI/DCN bytes halve, halo rows are
+                         cast back to the compute dtype on arrival (one
+                         bf16 rounding on boundary rows; the projection
+                         shows multi-host efficiency is DCN-byte-bound,
+                         docs/RESULTS_r3.md)
   overlap=True           interior/boundary split so local work overlaps
                          the exchange — the default. On a 1-D mesh this
                          is the FUSED boundary-rows-first form
@@ -99,6 +105,7 @@ def make_sharded_gcn_train_step(
     overlap: bool = True,
     model_axis: str = None,
     with_bias: bool = True,
+    exchange_dtype: str = None,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
@@ -119,6 +126,8 @@ def make_sharded_gcn_train_step(
     docstring). Composes with every exchange/kernel knob.
     """
     assert exchange in ("halo", "halo_padded", "halo_hier", "all_gather")
+    assert exchange_dtype in (None, "bf16"), exchange_dtype
+    wire_dtype = jnp.bfloat16 if exchange_dtype == "bf16" else None
     if kernel is None:
         # flagship default: packed-ELL + overlapped halo; the all_gather
         # baseline keeps the portable segment-sum
@@ -140,7 +149,7 @@ def make_sharded_gcn_train_step(
             axis = ("host", "chip")
         nh, nc = mesh.shape[axis[0]], mesh.shape[axis[1]]
         plan = build_halo_plan_hier(sg, nh, nc)
-        ex_fn = make_halo_exchange(plan)
+        ex_fn = make_halo_exchange(plan, wire_dtype)
         plan_dev = plan.device_arrays
     elif halo_like:
         from gcn_tpu.parallel.halo import (build_halo_plan,
@@ -149,7 +158,7 @@ def make_sharded_gcn_train_step(
 
         plan = (build_halo_plan_ragged(sg) if exchange == "halo"
                 else build_halo_plan(sg))
-        ex_fn = make_halo_exchange(plan)
+        ex_fn = make_halo_exchange(plan, wire_dtype)
         plan_dev = plan.device_arrays
     else:
         plan = ex_fn = None

@@ -290,6 +290,48 @@ class TestHaloExchange:
                                    results["halo_padded"][1],
                                    rtol=1e-3, atol=1e-4)
 
+    def test_bf16_wire_exchange_tracks_f32(self, rng):
+        """exchange_dtype='bf16' halves wire bytes; training must track
+        the f32-wire run within bf16 rounding (and still converge) on
+        the ragged and padded exchange flavors (the hierarchical plan
+        shares the same cast points; see test_hier_halo_matches_unsharded
+        for its numerics)."""
+        import jax
+
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.parallel import create_mesh, make_sharded_gcn_train_step
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        g, x, labels, sg = self._setup(rng)
+        mesh = create_mesh(4)
+        tx = adam_l2(0.01, 5e-4)
+        mask = np.ones(g.shape[0], np.float32)
+        for exchange in ("halo", "halo_padded"):
+            results = {}
+            for dt in (None, "bf16"):
+                params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+                step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                    mesh, sg, tx, dropout=0.0, exchange=exchange,
+                    exchange_dtype=dt)
+                adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                           pad_rows(labels, sg),
+                                           pad_rows(mask, sg))
+                opt_state = tx.init(params)
+                losses = []
+                for _ in range(5):
+                    params, opt_state, loss = step(
+                        params, opt_state, jax.random.PRNGKey(7), adj,
+                        xs, ys, ms)
+                    losses.append(float(loss))
+                results[dt] = losses
+            # bf16 wire rounds the boundary rows once per exchange:
+            # loose tolerance, but the trajectories must stay together
+            # and decrease
+            np.testing.assert_allclose(results[None], results["bf16"],
+                                       rtol=0.05, atol=0.02)
+            assert results["bf16"][-1] < results["bf16"][0]
+
     def test_exchange_fraction_small_for_banded_graph(self, rng):
         from gcn_tpu.graph.csr import coo_to_csr
         from gcn_tpu.graph.normalize import gcn_normalize
@@ -592,6 +634,22 @@ def test_hier_halo_matches_unsharded(rng):
                       device_adjacency(g, "dense"),
                       orders=("a_xw", "a_xw"), train=False)
     np.testing.assert_allclose(lp, np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+    # bf16 wire: both hier levels (intra ppermutes, DCN unions + ICI
+    # fan-out) cast on the wire only — eval must still track the
+    # unsharded forward within bf16 rounding of the boundary rows
+    step_b, eval_b, _ = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.0, exchange="halo_hier",
+        exchange_dtype="bf16")
+    p3, _, loss_b = step_b(params, tx.init(params), jax.random.PRNGKey(1),
+                           adj, xs, ys, ms)
+    assert np.isfinite(float(loss_b))
+    assert abs(float(loss_b) - float(loss)) < 0.02
+    lp_b = np.asarray(eval_b(p3, adj, xs))[:n]
+    ref3 = gcn_forward(jax.device_get(p3), jnp.asarray(x),
+                       device_adjacency(g, "dense"),
+                       orders=("a_xw", "a_xw"), train=False)
+    np.testing.assert_allclose(lp_b, np.asarray(ref3), rtol=0.05, atol=0.03)
 
     # dropout path (flattened host*chip axis index in the rng fold)
     step_d, _, _ = make_sharded_gcn_train_step(
