@@ -27,7 +27,8 @@ import sys
 import time
 
 
-def bench_devices(d, nodes_per_device, steps, kernel, exchange, seed=0):
+def bench_devices(d, nodes_per_device, steps, kernel, exchange,
+                  exchange_dtype=None, seed=0):
     import jax
     import numpy as np
 
@@ -67,7 +68,8 @@ def bench_devices(d, nodes_per_device, steps, kernel, exchange, seed=0):
     params = init_gcn_params(jax.random.PRNGKey(0), 64, 32, 8)
     tx = adam_l2(0.01, 5e-4)
     step, _, shard_fn = make_sharded_gcn_train_step(
-        mesh, sg, tx, dropout=0.5, exchange=exchange, kernel=kernel)
+        mesh, sg, tx, dropout=0.5, exchange=exchange, kernel=kernel,
+        exchange_dtype=exchange_dtype)
 
     # per-level exchange accounting (rows/device/layer; 4 B/row/feature)
     stats = {}
@@ -152,8 +154,8 @@ def main():
     ap.add_argument("--spmm-rate", type=float, default=346e6,
                     help="measured single-chip SpMM edges/s (bench.py)")
     ap.add_argument("--halo-bf16", action="store_true",
-                    help="project with exchange_dtype='bf16' (2 B/elt "
-                         "on the wire; parallel/train_step.py knob)")
+                    help="exchange_dtype='bf16': 2 B/elt on the wire "
+                         "(live bench AND --project projection)")
     ap.add_argument("--out", default=None,
                     help="write the full projection JSON here")
     args = ap.parse_args()
@@ -170,7 +172,8 @@ def main():
     t1 = None
     for d in counts:
         t, stats = bench_devices(d, args.nodes_per_device, args.steps,
-                                 args.kernel, args.exchange)
+                                 args.kernel, args.exchange,
+                                 "bf16" if args.halo_bf16 else None)
         if t1 is None:
             t1 = t
         eff = t1 / t
