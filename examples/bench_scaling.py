@@ -113,12 +113,13 @@ def run_projection(args):
         bw_dcn=args.bw_dcn, spmm_edges_per_s=args.spmm_rate,
         bytes_per_elt=2 if args.halo_bf16 else 4)
     out = {
+        # every entry records the value ACTUALLY used for the rows
         "assumptions": {
-            **{k: v for k, v in DEFAULTS.items()
-               if k not in ("bw_ici", "bw_dcn", "spmm_edges_per_s")},
+            "chips_per_host": args.chips_per_host,
+            "feat_width": DEFAULTS["feat_width"],
+            "bytes_per_elt": 2 if args.halo_bf16 else 4,
             "bw_ici_B_per_s": args.bw_ici, "bw_dcn_B_per_s": args.bw_dcn,
             "spmm_edges_per_s": args.spmm_rate,
-            "wire_bytes_per_elt": 2 if args.halo_bf16 else 4,
             "nodes_per_device": args.nodes_per_device,
             "note": "byte counts are exact plan outputs; only the "
                     "time conversion is modeled (module docstring)",

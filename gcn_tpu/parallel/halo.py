@@ -65,8 +65,8 @@ def _round_up(x: int, m: int) -> int:
 )
 @dataclasses.dataclass(frozen=True)
 class HaloPlan:
-    send_idx: jnp.ndarray   # int32[n_shards, n_shards, h_max]
-    col_remap: jnp.ndarray  # int32[n_shards, e_max]
+    send_idx: np.ndarray    # int32[n_shards, n_shards, h_max], HOST
+    col_remap: np.ndarray   # int32[n_shards, e_max], HOST
     h_max: int
     n_shards: int
     n_rows: int
@@ -108,8 +108,8 @@ class RaggedHaloPlan:
               0 = no pair at the offset needs anything (no collective)
     """
 
-    send_idx: jnp.ndarray
-    col_remap: jnp.ndarray
+    send_idx: np.ndarray    # host numpy until device placement
+    col_remap: np.ndarray
     sizes: tuple
     n_shards: int
     n_rows: int
@@ -212,8 +212,11 @@ def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
                     "halo plan missed a referenced boundary row"
             col_remap[d, slots] = base[(d - s) % ns] + pos
             # padding edges keep col_remap 0 -> the zero segment
+    # HOST numpy, like every planner output (CLAUDE.md): the arrays only
+    # go to the device as jit/device_put arguments (device_arrays), never
+    # eagerly at plan-build time — a 256-shard col_remap is ~100 MB.
     return RaggedHaloPlan(
-        send_idx=jnp.asarray(send_idx), col_remap=jnp.asarray(col_remap),
+        send_idx=send_idx, col_remap=col_remap,
         sizes=sizes, n_shards=ns, n_rows=sg.n_rows,
     )
 
@@ -246,9 +249,9 @@ class HierHaloPlan:
                all-gathered inter unions (chip-major), own band)
     """
 
-    send_intra: jnp.ndarray
-    send_inter: jnp.ndarray
-    col_remap: jnp.ndarray
+    send_intra: np.ndarray  # host numpy until device placement
+    send_inter: np.ndarray
+    col_remap: np.ndarray
     intra_sizes: tuple
     inter_sizes: tuple
     n_hosts: int
@@ -376,9 +379,8 @@ def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
                     "hier halo plan missed a boundary row"
             col_remap[d, slots] = base + pos
     return HierHaloPlan(
-        send_intra=jnp.asarray(send_intra),
-        send_inter=jnp.asarray(send_inter),
-        col_remap=jnp.asarray(col_remap),
+        send_intra=send_intra, send_inter=send_inter,
+        col_remap=col_remap,   # host numpy; see build_halo_plan_ragged
         intra_sizes=intra_sizes, inter_sizes=inter_sizes,
         n_hosts=n_hosts, n_chips=n_chips, n_rows=sg.n_rows,
     )
@@ -414,9 +416,24 @@ def build_halo_plan(sg: ShardedGraph) -> HaloPlan:
             col_remap[d, slots] = s * h_max + pos
             # padding slots keep col_remap 0 (their val is 0)
     return HaloPlan(
-        send_idx=jnp.asarray(send_idx), col_remap=jnp.asarray(col_remap),
+        send_idx=send_idx, col_remap=col_remap,   # host numpy (see
+        # build_halo_plan_ragged); device placement happens downstream
         h_max=h_max, n_shards=ns, n_rows=sg.n_rows,
     )
+
+
+def _prep_send(x_band, send_idx, pre, wire_dtype):
+    """Gather send rows, apply the optional pre transform, cast for the
+    wire. Returns (rows, out_dtype): out_dtype is what the halo table
+    must be cast back to after the collectives. One definition so every
+    exchange flavor shares one cast policy."""
+    rows = jnp.take(x_band, send_idx, axis=0)
+    if pre is not None:
+        rows = pre(rows)
+    out_dtype = rows.dtype
+    if wire_dtype is not None:
+        rows = rows.astype(wire_dtype)
+    return rows, out_dtype
 
 
 def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
@@ -443,13 +460,8 @@ def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
     regime is DCN-byte-bound, which is exactly what this trades against.
     """
     send_idx, _ = plan_arrays
-    send_idx = send_idx.reshape(-1)            # (sum(sizes),)
-    rows = jnp.take(x_band, send_idx, axis=0)
-    if pre is not None:
-        rows = pre(rows)
-    out_dtype = rows.dtype
-    if wire_dtype is not None:
-        rows = rows.astype(wire_dtype)
+    rows, out_dtype = _prep_send(x_band, send_idx.reshape(-1), pre,
+                                 wire_dtype)
     parts = [jnp.zeros((8, rows.shape[1]), rows.dtype)]
     off = 0
     for t, h in enumerate(sizes, start=1):
@@ -473,14 +485,8 @@ def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
     fan-out bytes)."""
     host_axis, chip_axis = axis_name
     send_intra, send_inter, _ = plan_arrays
-    send_intra = send_intra.reshape(-1)
-    send_inter = send_inter.reshape(-1)
-    rows_i = jnp.take(x_band, send_intra, axis=0)
-    if pre is not None:
-        rows_i = pre(rows_i)
-    out_dtype = rows_i.dtype
-    if wire_dtype is not None:
-        rows_i = rows_i.astype(wire_dtype)
+    rows_i, out_dtype = _prep_send(x_band, send_intra.reshape(-1), pre,
+                                   wire_dtype)
     parts = [jnp.zeros((8, rows_i.shape[1]), rows_i.dtype)]
     off = 0
     for t, h in enumerate(intra_sizes, start=1):
@@ -490,11 +496,8 @@ def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
         parts.append(jax.lax.ppermute(rows_i[off:off + h], chip_axis,
                                       perm))
         off += h
-    rows_e = jnp.take(x_band, send_inter, axis=0)
-    if pre is not None:
-        rows_e = pre(rows_e)
-    if wire_dtype is not None:
-        rows_e = rows_e.astype(wire_dtype)
+    rows_e, _ = _prep_send(x_band, send_inter.reshape(-1), pre,
+                           wire_dtype)
     recvs = []
     off = 0
     for th, h in enumerate(inter_sizes, start=1):
@@ -663,13 +666,8 @@ def _exchange_halo(plan_arrays, x_band, axis_name, pre=None,
                    wire_dtype=None):
     send_idx, _ = plan_arrays
     ns_h = tuple(send_idx.shape[-2:])
-    send_idx = send_idx.reshape(ns_h)
-    send = jnp.take(x_band, send_idx.reshape(-1), axis=0)
-    if pre is not None:
-        send = pre(send)
-    out_dtype = send.dtype
-    if wire_dtype is not None:
-        send = send.astype(wire_dtype)
+    send, out_dtype = _prep_send(x_band, send_idx.reshape(-1), pre,
+                                 wire_dtype)
     send = send.reshape(ns_h + (send.shape[1],))
     recv = jax.lax.all_to_all(send, axis_name, split_axis=0, concat_axis=0)
     return recv.reshape(ns_h[0] * ns_h[1], recv.shape[-1]).astype(out_dtype)

@@ -161,8 +161,17 @@ def project_weak_scaling(
 
         pr = build_halo_plan_ragged(sg)
         flat_rows = int(sum(pr.sizes))
-        hosts = max(1, d // chips_per_host) if d % chips_per_host == 0 \
-            else 1
+        if d <= chips_per_host:
+            hosts = 1
+        elif d % chips_per_host == 0:
+            hosts = d // chips_per_host
+        else:
+            # refuse rather than silently charging a multi-host slice
+            # at ICI rate (a d=12, cph=8 run spans 2 hosts)
+            raise ValueError(
+                f"devices={d} exceeds chips_per_host={chips_per_host} "
+                f"but does not divide it; pass a chips_per_host that "
+                f"tiles the slice")
         t_comp = edges_dev / spmm_edges_per_s
 
         # flat plan: all-ICI on one host, all-DCN once shards span hosts

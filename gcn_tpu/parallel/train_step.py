@@ -29,8 +29,10 @@ Knobs:
                          shows multi-host efficiency is DCN-byte-bound,
                          docs/RESULTS_r3.md)
   overlap=True           interior/boundary split so local work overlaps
-                         the exchange — the default. On a 1-D mesh this
-                         is the FUSED boundary-rows-first form
+                         the exchange — the default. Whenever no
+                         tensor-parallel model axis is in play (the 1-D
+                         data mesh AND the hierarchical host x chip
+                         mesh) this is the FUSED boundary-rows-first form
                          (halo.dist_spmm_halo_ell_overlap_xw): send rows
                          are transformed by a small gather+matmul so the
                          collective launches before the full-band X@W,
@@ -127,6 +129,9 @@ def make_sharded_gcn_train_step(
     """
     assert exchange in ("halo", "halo_padded", "halo_hier", "all_gather")
     assert exchange_dtype in (None, "bf16"), exchange_dtype
+    assert exchange_dtype is None or exchange != "all_gather", \
+        "exchange_dtype applies to the halo exchanges only; the " \
+        "all_gather baseline always ships the compute dtype"
     wire_dtype = jnp.bfloat16 if exchange_dtype == "bf16" else None
     if kernel is None:
         # flagship default: packed-ELL + overlapped halo; the all_gather
