@@ -1,0 +1,41 @@
+"""Smoke tests for the CLI drivers (examples/).
+
+The drivers are the reference-parity surface (profiling_gcn.py analogue
+plus the beyond-reference distributed CLI); these guard that both run
+end-to-end from a clean process — argument wiring, dataset registry,
+training, and the final accuracy printout — on the 8-fake-device CPU
+mesh. Kept tiny (synth-tiny, 5 iters) so the suite cost is compile-bound.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    PALLAS_AXON_POOL_IPS="",
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
+
+
+def _run(args, timeout=480):
+    return subprocess.run(
+        [sys.executable] + args, env=ENV, cwd=REPO,
+        capture_output=True, text=True, timeout=timeout)
+
+
+def test_train_gcn_cli_smoke():
+    r = _run(["examples/train_gcn.py", "-g", "synth-tiny", "-k", "8",
+              "-i", "5", "--variant", "v4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Test set results" in r.stdout
+
+
+def test_train_gcn_dist_cli_smoke():
+    r = _run(["examples/train_gcn_dist.py", "-g", "synth-tiny", "-k", "8",
+              "-i", "5", "--dropout", "0.0"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Test set results" in r.stdout
+    assert "exchange fraction" in r.stdout
