@@ -68,8 +68,11 @@ _T0 = time.time()
 # wall-clock budget for the OPTIONAL train-step detail benches: their
 # first-ever compile through the relay can take minutes; the primary
 # SpMM metric + roofline always complete first (~2 min) and must never
-# be lost to a driver timeout
-_DETAIL_BUDGET_S = 360.0
+# be lost to a driver timeout. 480 s fits both detail steps when the
+# relay's cross-process compile cache is warm (it is primed by any
+# prior same-session run; measured round 3: full run ~6 min warm) and
+# still leaves the final JSON line safely inside the driver's window.
+_DETAIL_BUDGET_S = 480.0
 
 
 def main():

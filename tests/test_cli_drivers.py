@@ -33,6 +33,16 @@ def test_train_gcn_cli_smoke():
     assert "Test set results" in r.stdout
 
 
+def test_bench_e2e_width_smoke(tmp_path):
+    out = str(tmp_path / "e2e.json")
+    r = _run(["examples/bench_e2e_width.py", "-g", "synth-tiny",
+              "-i", "5", "--variants", "v4", "--hiddens", "8",
+              "-o", out])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "warm ms/iter" in r.stdout
+
+
 def test_train_gcn_dist_cli_smoke():
     r = _run(["examples/train_gcn_dist.py", "-g", "synth-tiny", "-k", "8",
               "-i", "5", "--dropout", "0.0"])
