@@ -173,8 +173,8 @@ def _gather_ns_per_row(n, k, rounds=3):
 
 
 def bench_train_step(adj, data, overhead, inner=10, rounds=3,
-                     feats_ax=None):
-    """Full GCN train step (fwd+bwd+adam, hidden=32) per-iter seconds.
+                     feats_ax=None, nhid=32):
+    """Full GCN train step (fwd+bwd+adam, hidden=nhid) per-iter seconds.
 
     feats_ax: precomputed A@X -> layer 1 becomes a plain matmul (the
     hoisted configuration the models run by default)."""
@@ -191,8 +191,8 @@ def bench_train_step(adj, data, overhead, inner=10, rounds=3,
     feats = jnp.asarray(data.features) if feats_ax is None else feats_ax
     labels = jnp.asarray(data.labels)
     idx = jnp.asarray(np.asarray(data.idx_train), dtype=jnp.int32)
-    params = init_gcn_params(jax.random.PRNGKey(0), data.num_features, 32,
-                             data.num_classes)
+    params = init_gcn_params(jax.random.PRNGKey(0), data.num_features,
+                             nhid, data.num_classes)
     tx = adam_l2(0.01, 5e-4)
     opt0 = tx.init(params)
 

@@ -4,28 +4,46 @@ The reference's run.sh sweeps hidden=4 (run.sh:3-9) — useful for kernel
 profiling, weak evidence that the pipeline *trains*. This harness runs
 the widths people actually use (64, 128) for the auto-order (v4) and
 full-pipeline (v6) variants on the synth-arxiv stand-in and commits
-test accuracy, warm ms/iter, and cold-compile time to
+test accuracy, warm train-step ms/iter, and cold-compile wall time to
 ``results/e2e_width_arxiv.json``.
 
-Timing protocol (axon-relay honest): each config is fit TWICE with
-different seeds — same shapes, so the second run hits the relay's
-cross-process compile cache, but fresh parameter values, so the
-execution itself cannot be served from the relay's result cache. The
-scanned training loop is one device dispatch; its device-fenced time is
-``timers("fit_scan").d``. warm ms/iter = warm scan / iters; compile s =
-(cold - warm) scan time. Accuracy is reported from the cold (seed 15,
-the reference's seed, profiling_gcn.py:76-80) run.
+Protocols (axon-relay honest):
+  * accuracy — two full 200-iter fits per config through the public API
+    (seeds 15/16; 15 is the reference's seed, profiling_gcn.py:76-80).
+  * warm ms/iter — bench.py's chained-``lax.scan`` train-step protocol
+    (fresh values per round, scalar readback, no-op roundtrip
+    subtracted) at this config's hidden width, on the EXACT adjacency +
+    permuted features the fitted model used, in the models' default
+    hoisted configuration. The fit loop's own device-fenced scan timer
+    is NOT used: ``block_until_ready`` does not reliably block through
+    the relay, so it under-counts (measured: a "2.9 s" cold scan whose
+    completion was actually paid by the next readback).
+  * compile s — cold-fit wall minus warm-fit wall (same shapes: the
+    second fit hits the relay's cross-process compile cache). Wall
+    clocks through a shared relay carry seconds of noise; treat as
+    approximate.
 
 Usage: python examples/bench_e2e_width.py [-g synth-arxiv] [-i 200]
 """
 
 import argparse
+import importlib.util
 import json
 import os
 import time
+import types
 
 
-def run_config(data, variant, hidden, iters, seed):
+def _load_bench():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def fit_config(data, variant, hidden, iters, seed):
     from gcn_tpu.models import GCN
 
     model = GCN(data.num_features, hidden, data.num_classes,
@@ -34,9 +52,22 @@ def run_config(data, variant, hidden, iters, seed):
     model.fit(data.features, data.adj, data.labels, data.idx_train,
               train_iters=iters, verbose=False)
     wall_s = time.time() - t0
-    scan_ms = model.timers("fit_scan").d.total_ms
     acc = model.test(data.idx_test, verbose=False)
-    return {"acc": float(acc), "scan_ms": scan_ms, "wall_s": wall_s}
+    return model, float(acc), wall_s
+
+
+def warm_step_ms(bench, model, data, hidden, overhead):
+    """bench.py train-step protocol on the fitted model's own arrays."""
+    import numpy as np
+
+    d = types.SimpleNamespace(
+        features=model.features,            # permuted, on device
+        labels=np.asarray(model.labels),
+        idx_train=np.asarray(model._remap_idx(data.idx_train)),
+        num_features=model.nfeat, num_classes=model.nclass)
+    return bench.bench_train_step(
+        model.adj_norm, d, overhead, nhid=hidden,
+        feats_ax=model._hoisted_ax) * 1e3
 
 
 def main():
@@ -52,49 +83,56 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from gcn_tpu.data import get_dataset
 
+    bench = _load_bench()
     print(f"jax devices: {jax.devices()}")
     data = get_dataset(args.graph, seed=0)
     print(f"[{args.graph}] n={data.num_nodes} nnz={data.adj.nnz} "
           f"f={data.num_features} classes={data.num_classes}")
+    overhead = bench._sync_overhead(jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (256, 32)).astype(np.float32)))
 
     rows = []
     for variant in args.variants.split(","):
         for hidden in (int(h) for h in args.hiddens.split(",")):
-            cold = run_config(data, variant, hidden, args.train_iters,
-                              seed=15)
-            warm = run_config(data, variant, hidden, args.train_iters,
-                              seed=16)
+            m_cold, acc_cold, wall_cold = fit_config(
+                data, variant, hidden, args.train_iters, seed=15)
+            _, acc_warm, wall_warm = fit_config(
+                data, variant, hidden, args.train_iters, seed=16)
+            step_ms = warm_step_ms(bench, m_cold, data, hidden, overhead)
             row = {
                 "graph": args.graph, "variant": variant, "hidden": hidden,
                 "iters": args.train_iters,
-                "acc_test": round(cold["acc"], 4),
-                "acc_test_seed16": round(warm["acc"], 4),
-                "warm_ms_iter": round(warm["scan_ms"] / args.train_iters,
-                                      3),
-                "compile_s": round(
-                    (cold["scan_ms"] - warm["scan_ms"]) / 1e3, 1),
-                "cold_scan_s": round(cold["scan_ms"] / 1e3, 1),
-                "cold_wall_s": round(cold["wall_s"], 1),
+                "acc_test": round(acc_cold, 4),
+                "acc_test_seed16": round(acc_warm, 4),
+                "warm_step_ms": round(step_ms, 3),
+                "compile_s_approx": round(wall_cold - wall_warm, 1),
+                "cold_wall_s": round(wall_cold, 1),
+                "warm_wall_s": round(wall_warm, 1),
             }
             rows.append(row)
             print(json.dumps(row))
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump({"protocol": "two fits per config (seeds 15/16): warm "
-                               "= second scan (relay compile-cache hit, "
-                               "fresh values); compile = cold - warm",
+        json.dump({"protocol": "acc: two 200-iter fits (seeds 15/16); "
+                               "warm_step_ms: bench.py chained train-step "
+                               "at this width on the fitted model's "
+                               "adjacency (hoisted config); compile: "
+                               "cold-warm fit wall (approximate)",
                    "rows": rows}, f, indent=1)
     print(f"wrote {args.out}")
 
-    print(f"\n| variant | hidden | acc | warm ms/iter | compile s |")
+    print("\n| variant | hidden | acc | warm step ms | compile s |")
     print("|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['variant']} | {r['hidden']} | {r['acc_test']:.4f} "
-              f"| {r['warm_ms_iter']:.1f} | {r['compile_s']:.0f} |")
+              f"| {r['warm_step_ms']:.1f} | {r['compile_s_approx']:.0f} |")
 
 
 if __name__ == "__main__":

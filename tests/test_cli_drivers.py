@@ -40,7 +40,7 @@ def test_bench_e2e_width_smoke(tmp_path):
               "-o", out])
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(out)
-    assert "warm ms/iter" in r.stdout
+    assert "warm step ms" in r.stdout
 
 
 def test_train_gcn_dist_cli_smoke():
