@@ -122,9 +122,9 @@ def main():
     path = args.o or os.path.join(
         _HERE, os.pardir, "results",
         f"freq_split_{args.g.replace('synth-', '')}.json")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+    from gcn_tpu.utils.artifacts import write_artifact
+    write_artifact(path, out, harness="examples/bench_freq_split.py",
+                   schema="freq_split_v2", allow=["speedup"])
     print(f"wrote {path}")
 
 

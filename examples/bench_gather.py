@@ -160,9 +160,9 @@ def main():
     out = {"device": jax.devices()[0].platform,
            "gather": rows, "stream_gbps": round(bw, 1),
            "gather_effective_gbps_mid": round(eff, 1)}
-    os.makedirs(os.path.dirname(args.o) or ".", exist_ok=True)
-    with open(args.o, "w") as f:
-        json.dump(out, f, indent=1)
+    from gcn_tpu.utils.artifacts import write_artifact
+    write_artifact(args.o, out, harness="examples/bench_gather.py",
+                   schema="gather_microbench_v2")
     print(f"wrote {args.o}")
 
 

@@ -129,8 +129,12 @@ def run_projection(args):
     for r in out["rows"]:
         print(json.dumps(r))
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(out, f, indent=1)
+        from gcn_tpu.utils.artifacts import write_artifact
+        # min_bw_scale_90 can legitimately exceed 1 (it is a scale, not
+        # an efficiency)
+        write_artifact(args.out, out, harness="examples/bench_scaling.py",
+                       schema="scaling_projection_v2",
+                       allow=["min_bw_scale_90"])
         print(f"wrote {args.out}")
     return 0
 
