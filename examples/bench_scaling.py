@@ -100,17 +100,46 @@ def bench_devices(d, nodes_per_device, steps, kernel, exchange,
     return (time.perf_counter() - t0) / steps, stats
 
 
+def run_projection_fullstep(args):
+    # host-side only; never let jax reach for the TPU relay
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from gcn_tpu.parallel.projection import project_weak_scaling_fullstep
+
+    counts = args.devices or [8, 32, 64]
+    rows, meta = project_weak_scaling_fullstep(
+        counts, nodes_per_device=args.nodes_per_device,
+        workload=args.workload, chips_per_host=args.chips_per_host,
+        nfeat=args.nfeat, nhid=args.nhid, nclass=args.nclass,
+        bw_ici=args.bw_ici, bw_dcn=args.bw_dcn,
+        spmm_edges_per_s=args.spmm_rate,
+        bytes_per_elt=2 if args.halo_bf16 else 4,
+        exchange_chunk=None if args.no_chunk else 32)
+    out = {"assumptions": meta, "rows": [r.to_json() for r in rows]}
+    for r in out["rows"]:
+        print(json.dumps(r))
+    if args.out:
+        from gcn_tpu.utils.artifacts import write_artifact
+        write_artifact(args.out, out,
+                       harness="examples/bench_scaling.py --fullstep",
+                       schema="scaling_projection_fullstep_v1",
+                       allow=["min_bw_scale_90", "hub_delta_rows"])
+        print(f"wrote {args.out}")
+    return 0
+
+
 def run_projection(args):
     # host-side only; never let jax reach for the TPU relay
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    from gcn_tpu.parallel.projection import (DEFAULTS,
+    from gcn_tpu.parallel.projection import (DEFAULTS, measured_spmm_rate,
                                              project_weak_scaling)
 
+    rate, rate_src = ((args.spmm_rate, "caller") if args.spmm_rate
+                      else measured_spmm_rate())
     counts = args.devices or [8, 32, 128, 256]
     rows = project_weak_scaling(
         counts, nodes_per_device=args.nodes_per_device,
         chips_per_host=args.chips_per_host, bw_ici=args.bw_ici,
-        bw_dcn=args.bw_dcn, spmm_edges_per_s=args.spmm_rate,
+        bw_dcn=args.bw_dcn, spmm_edges_per_s=rate,
         bytes_per_elt=2 if args.halo_bf16 else 4)
     out = {
         # every entry records the value ACTUALLY used for the rows
@@ -119,7 +148,7 @@ def run_projection(args):
             "feat_width": DEFAULTS["feat_width"],
             "bytes_per_elt": 2 if args.halo_bf16 else 4,
             "bw_ici_B_per_s": args.bw_ici, "bw_dcn_B_per_s": args.bw_dcn,
-            "spmm_edges_per_s": args.spmm_rate,
+            "spmm_edges_per_s": rate, "spmm_rate_source": rate_src,
             "nodes_per_device": args.nodes_per_device,
             "note": "byte counts are exact plan outputs; only the "
                     "time conversion is modeled (module docstring)",
@@ -151,13 +180,27 @@ def main():
                              "all_gather"])
     ap.add_argument("--project", action="store_true",
                     help="analytic pod-slice projection (no devices)")
+    ap.add_argument("--fullstep", action="store_true",
+                    help="full-train-step projection: 4 boundary-first "
+                         "exchanges at layer-output widths, k-chunked "
+                         "pipeline credit, hub-replication check "
+                         "(projection.project_weak_scaling_fullstep)")
+    ap.add_argument("--workload", default="powerlaw",
+                    choices=["powerlaw", "sbm"])
+    ap.add_argument("--nfeat", type=int, default=128)
+    ap.add_argument("--nhid", type=int, default=128)
+    ap.add_argument("--nclass", type=int, default=40)
+    ap.add_argument("--no-chunk", action="store_true",
+                    help="disable the k-chunk pipeline credit")
     ap.add_argument("--chips-per-host", type=int, default=8)
     ap.add_argument("--bw-ici", type=float, default=9.0e10,
                     help="assumed per-chip ICI bandwidth, B/s")
     ap.add_argument("--bw-dcn", type=float, default=6.25e9,
                     help="assumed per-chip DCN bandwidth, B/s")
-    ap.add_argument("--spmm-rate", type=float, default=346e6,
-                    help="measured single-chip SpMM edges/s (bench.py)")
+    ap.add_argument("--spmm-rate", type=float, default=None,
+                    help="single-chip SpMM edges/s; default: read from "
+                         "the newest BENCH_r*.json with provenance "
+                         "(projection.measured_spmm_rate)")
     ap.add_argument("--halo-bf16", action="store_true",
                     help="exchange_dtype='bf16': 2 B/elt on the wire "
                          "(live bench AND --project projection)")
@@ -165,6 +208,8 @@ def main():
                     help="write the full projection JSON here")
     args = ap.parse_args()
 
+    if args.fullstep:
+        return run_projection_fullstep(args)
     if args.project:
         return run_projection(args)
 

@@ -1,0 +1,204 @@
+"""Ground the sharded SpMM kernel's single-chip rate on the real TPU.
+
+The weak-scaling projection converts exchange bytes to time using the
+measured UNSHARDED bench rate (bench.py) and assumes the per-shard
+kernel (`parallel/halo.build_sharded_ell` + `dist_spmm_halo_ell`) runs
+at the same rate. That assumption was unverified (VERDICT r3 weak #4):
+all sharded-step evidence was CPU interpret-mode. This harness runs the
+REAL sharded code path on a ONE-device mesh — same graph, same rabbit +
+degree-sort pipeline as bench.py — with the whole chained feedback loop
+INSIDE one shard_map-wrapped jit, so the relay's seconds-per-dispatch
+shard_map cost (CLAUDE.md) amortizes over `inner` iterations exactly
+like the plain-jit protocol.
+
+What differs between the two programs (and is therefore what this
+measures): the per-shard ELL is built with hub_split=False (virtual-row
+spaces can't stack on a shard axis), its gather table is
+concat(zeros(8), band) instead of the band itself, and the per-shard
+layout re-tiles rows within the band. The committed artifact
+(results/sharded_1dev.json) reports both rates and their ratio; the
+projection's `spmm_edges_per_s` stays honest either way — if the gap
+exceeds ~10%, feed `--spmm-rate` from here into bench_scaling
+--fullstep (VERDICT r3 next-round #3).
+
+Usage: python examples/bench_sharded_1dev.py   (real TPU)
+"""
+
+import argparse
+import importlib.util
+import json
+import os
+import time
+from functools import partial
+
+
+def _load_bench():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-g", "--graph", default="synth-arxiv")
+    ap.add_argument("-k", type=int, default=32)
+    ap.add_argument("--inner", type=int, default=30)
+    ap.add_argument("-o", "--out",
+                    default=os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), "results",
+                        "sharded_1dev.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gcn_tpu.data import get_dataset
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.ops.ell_spmm import spmm_ell
+    from gcn_tpu.parallel import create_mesh, shard_graph_by_rows
+    from gcn_tpu.parallel.halo import (build_halo_plan_ragged,
+                                       build_sharded_ell,
+                                       dist_spmm_halo_ell,
+                                       dist_spmm_halo_ell_overlap,
+                                       make_halo_exchange,
+                                       unstack_ell_shard)
+    from gcn_tpu.reorder import reorder_graph
+    from gcn_tpu.tile import degree_sort_order, ell_adjacency
+
+    bench = _load_bench()
+    print(f"jax devices: {jax.devices()}")
+    data = get_dataset(args.graph, seed=0)
+    g = gcn_normalize(data.adj)
+    g, _ = reorder_graph(g, "rabbit")
+    g = g.permute(degree_sort_order(g))
+    n, e, k = g.shape[0], g.nnz, args.k
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (n, k)).astype(np.float32) * 0.01)
+    overhead = bench._sync_overhead(x0)
+
+    # --- plain-jit reference: bench.py's serving configuration ----------
+    adj_ell = ell_adjacency(g, symmetric=True, span_pass_limit=0)
+    t_plain = bench.bench_spmm(lambda a, xx: spmm_ell(a, xx), adj_ell, x0,
+                               overhead, inner=args.inner)
+    print(f"plain jit ELL: {t_plain*1e3:.3f} ms "
+          f"({e/t_plain/1e6:.1f} M edges/s)", flush=True)
+
+    # --- sharded path on a 1-device mesh --------------------------------
+    mesh = create_mesh(1)
+    sg = shard_graph_by_rows(g, 1)
+    plan = build_halo_plan_ragged(sg)
+    # serving config (span_pass_limit=0) for an apples-to-apples
+    # comparison with the plain-jit serving reference above; the
+    # training default (span 16 WITHOUT hub split — virtual row spaces
+    # cannot stack on a shard axis) sends band hubs to the merged
+    # Pallas region, which is a config difference, not a sharding cost
+    ell_sh = build_sharded_ell(sg, plan, span_pass_limit=0)
+    ex_fn = make_halo_exchange(plan)
+    plan_dev = plan.device_arrays
+    spec_e = jax.tree_util.tree_map(
+        lambda a: P("data", *([None] * (a.ndim - 1))), ell_sh)
+    spec_p = jax.tree_util.tree_map(
+        lambda a: P("data", *([None] * (a.ndim - 1))), plan_dev)
+    n_pad = sg.n_rows_padded
+    x0p = jnp.concatenate(
+        [x0, jnp.zeros((n_pad - n, k), x0.dtype)], axis=0)
+
+    inner = args.inner
+    sh = NamedSharding(mesh, P("data", None))
+
+    def put(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), NamedSharding(
+                mesh, P("data", *([None] * (a.ndim - 1))))), tree)
+
+    def measure(body, *dev_args):
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=tuple(
+                     jax.tree_util.tree_map(
+                         lambda a: P("data", *([None] * (a.ndim - 1))),
+                         d) for d in dev_args) + (P("data", None),),
+                 out_specs=P(), check_vma=False)
+        def chained(*args):
+            x_band = args[-1]
+
+            def it(i, acc):
+                return body(args[:-1], acc) * 0.999 + x_band * 1e-6
+
+            out = jax.lax.fori_loop(0, inner, it, x_band)
+            return jax.lax.psum(jnp.sum(out), "data")
+
+        run = jax.jit(chained)
+        float(run(*dev_args, jax.device_put(x0p * 0.5, sh)))  # compile
+        best = 1e9
+        for r in range(1, 4):
+            xr = jax.device_put(x0p * (1 + r * 1e-3), sh)
+            t0 = time.perf_counter()
+            float(run(*dev_args, xr))
+            best = min(best,
+                       (time.perf_counter() - t0 - overhead) / inner)
+        return best
+
+    ell_dev, plan_d = put(ell_sh), put(plan_dev)
+
+    def body_mono(dev, acc):
+        return dist_spmm_halo_ell(unstack_ell_shard(dev[0]), dev[1], acc,
+                                  "data", exchange=ex_fn)
+
+    t_shard = measure(body_mono, ell_dev, plan_d)
+    print(f"sharded (1-dev mesh, monolithic table): {t_shard*1e3:.3f} ms "
+          f"({e/t_shard/1e6:.1f} M edges/s)", flush=True)
+
+    # the production default: interior/boundary split (overlap=True) —
+    # the interior aggregation gathers STRAIGHT from the band, no
+    # concat(halo, band) table materialization per application
+    ell_int = put(build_sharded_ell(sg, plan, part="interior",
+                                    span_pass_limit=0))
+    ell_bnd = put(build_sharded_ell(sg, plan, part="boundary",
+                                    span_pass_limit=0))
+
+    def body_overlap(dev, acc):
+        return dist_spmm_halo_ell_overlap(
+            unstack_ell_shard(dev[0]), unstack_ell_shard(dev[1]), dev[2],
+            acc, "data", exchange=ex_fn)
+
+    t_overlap = measure(body_overlap, ell_int, ell_bnd, plan_d)
+    print(f"sharded (overlap split, production default): "
+          f"{t_overlap*1e3:.3f} ms ({e/t_overlap/1e6:.1f} M edges/s)",
+          flush=True)
+
+    out = {
+        "graph": args.graph, "n": n, "nnz": e, "k": k,
+        "protocol": "chained fori_loop inside ONE shard_map jit "
+                    "(amortizes relay dispatch), fresh input + scalar "
+                    "readback per round, min of 3, no-op roundtrip "
+                    "subtracted — bench.py protocol",
+        "plain_jit_ms": round(t_plain * 1e3, 3),
+        "sharded_1dev_ms": round(t_shard * 1e3, 3),
+        "sharded_overlap_ms": round(t_overlap * 1e3, 3),
+        "plain_edges_per_s": round(e / t_plain, 1),
+        "sharded_edges_per_s": round(e / t_shard, 1),
+        "sharded_overlap_edges_per_s": round(e / t_overlap, 1),
+        "sharded_over_plain": round(t_shard / t_plain, 4),
+        "sharded_overlap_over_plain": round(t_overlap / t_plain, 4),
+        "notes": "all sides in the serving config (span_pass_limit=0); "
+                 "the sharded ELLs have hub_split=False. Measured "
+                 "attribution of the earlier 1.34x gap: span-16 w/o hub "
+                 "split (band hubs on the merged Pallas region) 8.65 ms; "
+                 "r=64 windows (old build_sharded_ell default) +~0.5 ms; "
+                 "monolithic concat(halo, band) table vs the overlap "
+                 "split's direct band gather is the remainder",
+    }
+    print(json.dumps(out))
+    from gcn_tpu.utils.artifacts import write_artifact
+    write_artifact(args.out, out, harness="examples/bench_sharded_1dev.py",
+                   schema="sharded_1dev_v1", allow=["sharded_over_plain"])
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

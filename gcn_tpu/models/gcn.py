@@ -167,6 +167,22 @@ class GCN:
             ds = degree_sort_order(g)
             g = g.permute(ds)
             perm = ds if perm is None else perm[ds]
+            if self.adj_options.get("freq_split"):
+                # part-aware order: within the hot prefix and the cold
+                # tail separately, re-sort by COLD-part degree so the
+                # expensive packed cold table gets homogeneous windows
+                # (measured 1.25x end-to-end on synth-amazon vs 1.06x
+                # without — docs/RESULTS_r4.md). Symmetric, segment-
+                # preserving: composes into the perm chain like any
+                # reorder pass; no un-permute gathers anywhere.
+                from gcn_tpu.tile.freq_split import freq_split_order
+
+                po = freq_split_order(
+                    g, hot_rows=self.adj_options.get("hot_rows"),
+                    table_bf16=bool(self.adj_options.get("table_bf16")))
+                if po is not None:
+                    g = g.permute(po)
+                    perm = po if perm is None else perm[po]
 
         kind = self.adj_kind
         kwargs = {}

@@ -569,9 +569,9 @@ def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
+def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
                       k_pad: int = 32, products_bf16: bool = False,
-                      part: str = "all"):
+                      part: str = "all", **ell_kw):
     """Per-shard EllAdj over the halo-remapped band matrices, stacked on a
     leading shard axis (block counts padded to the max shard).
 
@@ -583,9 +583,15 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
     interior aggregation (dist_spmm_halo_ell_overlap).
     """
     from gcn_tpu.graph.csr import CSRGraph, coo_to_csr
-    from gcn_tpu.tile.ell import EllAdj, ell_adjacency
+    from gcn_tpu.tile.ell import DEFAULT_R, EllAdj, ell_adjacency
 
     ns, rps = sg.n_shards, sg.rows_per_shard
+    if r is None:
+        # match the single-chip tiler's window height (the round-4
+        # sharded-rate bench measured r=64 per-shard windows ~1.3x
+        # slower than the plain r=128 layout at arxiv scale), but never
+        # exceed the band height
+        r = DEFAULT_R if rps >= DEFAULT_R else max(8, rps // 8 * 8)
     halo_cols = plan.halo_rows
     if part == "all":
         t_cols = halo_cols + rps
@@ -617,7 +623,7 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = 64,
         shards.append(ell_adjacency(g_local, r=r, k_pad=k_pad,
                                     symmetric=False,
                                     products_bf16=products_bf16,
-                                    hub_split=False))
+                                    hub_split=False, **ell_kw))
 
     def _stack(field, pad_win_field=None):
         arrs = [getattr(a, field) for a in shards]
@@ -711,7 +717,8 @@ def dist_spmm_halo_ell_overlap(ell_interior, ell_boundary, plan_arrays,
 def dist_spmm_halo_ell_overlap_xw(ell_interior, ell_boundary, plan_arrays,
                                   x_band: jnp.ndarray, w: jnp.ndarray,
                                   axis_name: str = "data",
-                                  exchange=None) -> jnp.ndarray:
+                                  exchange=None,
+                                  chunk: int = None) -> jnp.ndarray:
     """Fused ``A @ (X W)`` with a boundary-rows-first exchange.
 
     dist_spmm_halo_ell_overlap hides the exchange behind the interior
@@ -737,15 +744,50 @@ def dist_spmm_halo_ell_overlap_xw(ell_interior, ell_boundary, plan_arrays,
     This is the widened overlap window the weak-scaling projection
     (docs/RESULTS_r3.md) identifies as the multi-host lever: on the
     8-shard arxiv plan the exchange can hide behind ~n_band*nfeat*nhid
-    MXU flops instead of interior-gather time alone."""
+    MXU flops instead of interior-gather time alone.
+
+    ``chunk`` (round 4): k-chunked PIPELINED exchange. Each output
+    column of the boundary aggregation depends only on that column of
+    the halo, so the exchange and the boundary SpMM split cleanly along
+    the feature dimension into ceil(f_out/chunk) independent slices:
+
+        for c in chunks:  halo_c = exchange(gather(x) @ w[:, c])
+                          boundary[:, c] = A_bnd @ halo_c
+
+    The slices' collectives are mutually independent and each slice's
+    boundary aggregation depends only on its own collective, so XLA's
+    async-collective scheduler can aggregate slice c while slice c+1 is
+    still on the wire — the boundary aggregation itself (the one piece
+    of compute the monolithic form can never overlap, (1-interior) of
+    the SpMM) now hides up to (C-1)/C of the exchange. The full-step
+    weak-scaling projection (parallel/projection.py) models exactly
+    this window; exposed time drops from max(0, t_comm - t_int) to
+    max(0, t_comm - t_int - (C-1)/C * t_bnd). Numerically identical to
+    the monolithic form: concat_c(A_bnd @ halo[:, c]) == A_bnd @ halo
+    column-exactly, and the bf16 wire rounds rows @ w[:, c] to the same
+    values as (rows @ w)[:, c] (pinned in tests/test_parallel.py).
+    chunk should match the ELL kernel's k_pad (32) so each slice is one
+    native kernel tile."""
     from gcn_tpu.ops.ell_spmm import spmm_ell
 
-    def pre(rows):
-        return jnp.dot(rows, w, preferred_element_type=rows.dtype)
-
-    halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name,
-                                        pre=pre)
+    ex = exchange or _exchange_halo
+    f_out = w.shape[1]
     h = jnp.dot(x_band, w, preferred_element_type=x_band.dtype)
     interior = spmm_ell(ell_interior, h)
-    boundary = spmm_ell(ell_boundary, halo)
-    return interior + boundary
+    if chunk is None or f_out <= chunk:
+        def pre(rows):
+            return jnp.dot(rows, w, preferred_element_type=rows.dtype)
+
+        halo = ex(plan_arrays, x_band, axis_name, pre=pre)
+        return interior + spmm_ell(ell_boundary, halo)
+
+    bnd_parts = []
+    for c0 in range(0, f_out, chunk):
+        wc = jax.lax.slice_in_dim(w, c0, min(c0 + chunk, f_out), axis=1)
+
+        def pre_c(rows, wc=wc):
+            return jnp.dot(rows, wc, preferred_element_type=rows.dtype)
+
+        halo_c = ex(plan_arrays, x_band, axis_name, pre=pre_c)
+        bnd_parts.append(spmm_ell(ell_boundary, halo_c))
+    return interior + jnp.concatenate(bnd_parts, axis=1)

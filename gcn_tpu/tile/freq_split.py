@@ -138,6 +138,42 @@ def default_hot_rows(n_cols: int, table_bf16: bool = False) -> int:
     return max(8, min(raw // 2, n_cols)) // 8 * 8
 
 
+def freq_split_order(g: CSRGraph, *, hot_rows: int = None,
+                     table_bf16: bool = False):
+    """Part-aware global vertex order for the frequency split (round 4).
+
+    With the global degree order, a window's rows have homogeneous TOTAL
+    degree but heterogeneous hot/cold splits, so BOTH part tables pad
+    heavily (measured 0.38/0.50 hot/cold pad on synth-amazon). Re-sorting
+    rows by COLD-part degree *within each segment* — the hot prefix
+    [0, H) and the tail [H, n) separately, so the hot column SET stays
+    exactly the prefix and the split slices x[:H] unchanged — makes cold
+    windows homogeneous in the expensive packed table and mostly
+    homogenizes hot windows too (hot_deg ~ total - cold_deg within a
+    degree-sorted segment). Symmetric permutation: rows and columns move
+    together, so no un-permute gather is needed anywhere (the round-3
+    asymmetric per-part sort lost ~51 ms/application to exactly that).
+
+    Exact slot counts from the sweep (examples/bench_freq_split.py
+    --order-sweep, synth-amazon bf16): hot pad 0.38->0.30, cold pad
+    0.50->0.30, paper cost 1.29x better; measured TPU confirmation in
+    results/freq_split_amazon.json. Returns the order array
+    (order[new]=old), or None when the table fits residency (no split).
+    Apply BEFORE building the split, composing into the model's
+    permutation chain like any reorder pass.
+    """
+    n, m = g.shape
+    if hot_rows is None:
+        hot_rows = default_hot_rows(m, table_bf16)
+    if hot_rows >= m:
+        return None
+    rows_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(g.indptr))
+    cold_deg = np.bincount(rows_of[g.indices >= hot_rows], minlength=n)
+    pre = np.argsort(-cold_deg[:hot_rows], kind="stable")
+    tail = hot_rows + np.argsort(-cold_deg[hot_rows:], kind="stable")
+    return np.concatenate([pre, tail])
+
+
 def ell_adjacency_freq(
     g: CSRGraph,
     *,

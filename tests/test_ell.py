@@ -508,6 +508,47 @@ def test_freq_split_matches_single_table(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_freq_split_part_order(rng):
+    """Within-segment cold-degree order (freq_split_order): a valid
+    symmetric permutation that keeps the hot SET as the prefix, never
+    increases padded slots, and leaves the SpMM a pure relabeling."""
+    from gcn_tpu.tile import ell_adjacency_freq, spmm_ell_freq
+    from gcn_tpu.tile.freq_split import freq_split_order
+
+    n, h = 384, 64
+    src = np.concatenate([rng.integers(0, 40, 1200),
+                          rng.integers(0, n, 800)])
+    dst = np.concatenate([rng.integers(0, n, 1200),
+                          rng.integers(0, n, 800)])
+    g = coo_to_csr(dst, src, rng.random(2000).astype(np.float32),
+                   (n, n)).symmetrize(binarize=False)
+    g = g.permute(degree_sort_order(g))
+    po = freq_split_order(g, hot_rows=h)
+    assert po is not None
+    # segment-preserving permutation: hot set stays the prefix
+    assert set(po[:h].tolist()) == set(range(h))
+    assert np.array_equal(np.sort(po), np.arange(n))
+
+    fs0 = ell_adjacency_freq(g, hot_rows=h, r=16, k_pad=32)
+    g2 = g.permute(po)
+    fs2 = ell_adjacency_freq(g2, hot_rows=h, r=16, k_pad=32)
+    fs2.validate()
+    # the cold (expensive) table's padding is what the order minimizes;
+    # weight parts by the measured per-slot costs like the sweep does
+    cost0 = 3.68 * fs0.hot.cols.size + 7.24 * fs0.cold.cols.size
+    cost2 = 3.68 * fs2.hot.cols.size + 7.24 * fs2.cold.cols.size
+    assert fs2.cold.cols.size <= fs0.cold.cols.size
+    assert cost2 <= cost0 * (1 + 1e-9), "part order raised the paper cost"
+
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    out0 = np.asarray(spmm_ell_freq(fs0, x))
+    out2 = np.asarray(spmm_ell_freq(fs2, jnp.asarray(np.asarray(x)[po])))
+    np.testing.assert_allclose(out2, out0[po], rtol=1e-5, atol=1e-6)
+
+    # no split -> no order
+    assert freq_split_order(g, hot_rows=n) is None
+
+
 def test_freq_split_empty_cold_part(rng):
     """hot_rows covering every column (what default_hot_rows returns for
     any graph under the residency budget — including n NOT a multiple of

@@ -473,6 +473,51 @@ class TestHaloExchange:
         np.testing.assert_allclose(results[True][1], results[False][1],
                                    rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.parametrize("wire", [None, "bf16"])
+    def test_chunked_exchange_matches_monolithic(self, rng, wire):
+        """k-chunked pipelined exchange == monolithic, fwd AND training.
+
+        Each boundary-output column depends only on its halo column, so
+        chunking the exchange along k is exact — including under the
+        bf16 wire, where (rows @ w)[:, c] and rows @ w[:, c] round to
+        identical bf16 payloads. This is the overlap window the
+        full-step weak-scaling projection credits; the step must
+        implement what the model credits."""
+        import jax
+
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.parallel import create_mesh, make_sharded_gcn_train_step
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        g, x, labels, sg = self._setup(rng)
+        mesh = create_mesh(4)
+        tx = adam_l2(0.01, 5e-4)
+        mask = np.ones(g.shape[0], np.float32)
+        results = {}
+        # nhid=40 > chunk=16 -> layer 1 exchanges in 3 slices (16/16/8);
+        # nclass=4 < chunk -> layer 2 stays monolithic (the fallthrough)
+        for chunk in (16, None):
+            params = init_gcn_params(jax.random.PRNGKey(0), 16, 40, 4)
+            step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                mesh, sg, tx, dropout=0.0, exchange="halo", kernel="ell",
+                overlap=True, exchange_dtype=wire, exchange_chunk=chunk)
+            adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                       pad_rows(labels, sg),
+                                       pad_rows(mask, sg))
+            opt_state = tx.init(params)
+            losses = []
+            for _ in range(3):
+                params, opt_state, loss = step(params, opt_state,
+                                               jax.random.PRNGKey(7), adj,
+                                               xs, ys, ms)
+                losses.append(float(loss))
+            results[chunk] = (losses, np.asarray(eval_fn(params, adj, xs)))
+        np.testing.assert_allclose(results[16][0], results[None][0],
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(results[16][1], results[None][1],
+                                   rtol=1e-5, atol=1e-6)
+
 
 def test_2d_mesh_data_x_model_matches_unsharded(rng):
     """2-D mesh: row bands ("data") x tensor parallelism ("model").
