@@ -120,16 +120,16 @@ def main():
     # with the layer-1 hoisting the models apply by default (2 SpMM/iter).
     # Detail-only: never allowed to sink the primary metric — skipped with
     # -1 sentinels on error or when the wall-clock budget is spent.
-    # Gating (cold-cache safe): the first detail step starts only while
-    # at least half the budget remains (a cold vjp+scan compile is
-    # ~85-105 s; a warm primary phase finishes well inside 240 s). The
-    # second gates on the MEASURED wall cost of the first — on a cold
-    # relay cache both compiles cost minutes, and an elapsed-only check
-    # could start the second at t=budget-1 and blow the driver window.
+    # Gating (cold-cache safe): the first detail step starts only with
+    # >=180 s of budget left (a cold vjp+scan compile is ~85-105 s plus
+    # the run; a warm one far less). The second gates on the MEASURED
+    # wall cost of the first — on a cold relay cache both compiles cost
+    # minutes, and an elapsed-only check could start the second at
+    # t=budget-1 and blow the driver window.
     try:
         t1_wall = time.time() - _T0
         t_step = (bench_train_step(adj_ell_train, data, overhead)
-                  if t1_wall < _DETAIL_BUDGET_S * 0.5 else -1.0)
+                  if t1_wall < _DETAIL_BUDGET_S - 180.0 else -1.0)
         step1_cost = time.time() - _T0 - t1_wall
         if (t_step > 0
                 and time.time() - _T0 + step1_cost < _DETAIL_BUDGET_S):

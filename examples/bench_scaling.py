@@ -186,7 +186,7 @@ def main():
                          "pipeline credit, hub-replication check "
                          "(projection.project_weak_scaling_fullstep)")
     ap.add_argument("--workload", default="powerlaw",
-                    choices=["powerlaw", "sbm"])
+                    choices=["powerlaw", "sbm", "geometric"])
     ap.add_argument("--nfeat", type=int, default=128)
     ap.add_argument("--nhid", type=int, default=128)
     ap.add_argument("--nclass", type=int, default=40)

@@ -140,6 +140,63 @@ def powerlaw_sbm(
     return g, labels.astype(np.int64)
 
 
+def geometric(
+    n: int = 10000,
+    n_classes: int = 10,
+    avg_degree: float = 14.0,
+    seed: int = 0,
+    shuffle: bool = True,
+) -> Tuple[CSRGraph, np.ndarray]:
+    """Random geometric graph: vertices at uniform 2-D points, edges to
+    spatial neighbors (grid-hashed kNN-ish). The locality-rich workload
+    class — road networks, meshes, point clouds — where a community
+    reorder recovers near-planar band structure; complements ``sbm``
+    (adversarial) and ``powerlaw_sbm`` (heavy-tailed) in the
+    weak-scaling projection. Labels = angular sectors of the plane so a
+    GCN can still fit them."""
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2))
+    # spatial scale giving ~avg_degree neighbors within radius r
+    r = float(np.sqrt(avg_degree / (np.pi * n)))
+    nc = max(1, int(1.0 / r))
+
+    def cell_of(p):
+        cx = np.minimum((p[:, 0] * nc).astype(np.int64), nc - 1)
+        cy = np.minimum((p[:, 1] * nc).astype(np.int64), nc - 1)
+        return np.clip(cx, 0, nc - 1) * nc + np.clip(cy, 0, nc - 1)
+
+    cell = cell_of(pts)
+    order = np.argsort(cell, kind="stable").astype(np.int64)
+    starts = np.searchsorted(cell[order], np.arange(nc * nc + 1))
+    counts = np.diff(starts)
+
+    # vectorized: each edge connects a random vertex to a random vertex
+    # in the grid cell of a Gaussian(sigma=r) perturbation of it —
+    # endpoints are within ~2r, no per-cell Python loop
+    m = int(n * avg_degree / 2)
+    src = rng.integers(0, n, m)
+    tgt = pts[src] + rng.normal(0.0, r, (m, 2))
+    tc = cell_of(np.clip(tgt, 0.0, 1.0 - 1e-9))
+    have = counts[tc] > 0
+    src, tc = src[have], tc[have]
+    pick = starts[tc] + (rng.random(len(tc)) * counts[tc]).astype(np.int64)
+    dst = order[pick]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+
+    ang = np.arctan2(pts[:, 1] - 0.5, pts[:, 0] - 0.5)
+    labels = ((ang + np.pi) / (2 * np.pi) * n_classes).astype(np.int64)
+    labels = np.minimum(labels, n_classes - 1)
+    if shuffle:
+        pi = rng.permutation(n)
+        src, dst = pi[src], pi[dst]
+        new_labels = np.empty(n, dtype=np.int64)
+        new_labels[pi] = labels
+        labels = new_labels
+    g = coo_to_csr(src, dst, None, (n, n)).symmetrize(binarize=True)
+    return g, labels.astype(np.int64)
+
+
 def class_features(
     labels: np.ndarray,
     feat_dim: int = 64,

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -223,9 +224,9 @@ def build_halo_plan_ragged(sg: ShardedGraph) -> RaggedHaloPlan:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["send_intra", "send_inter", "col_remap"],
-    meta_fields=["intra_sizes", "inter_sizes", "n_hosts", "n_chips",
-                 "n_rows"],
+    data_fields=["send_intra", "send_inter", "send_fan", "col_remap"],
+    meta_fields=["intra_sizes", "inter_sizes", "fan_sizes", "n_hosts",
+                 "n_chips", "n_rows"],
 )
 @dataclasses.dataclass(frozen=True)
 class HierHaloPlan:
@@ -236,32 +237,54 @@ class HierHaloPlan:
     The hierarchical plan moves same-host boundaries over the chip axis
     (ICI, ragged per-offset ppermutes as in RaggedHaloPlan) and, across
     hosts, ships each source's boundary ONCE per destination HOST — the
-    union over that host's chips — then fans it out intra-host with one
-    all_gather over the chip axis. DCN rows per device drop from
-    sum-over-remote-devices to sum-over-remote-hosts-of-unions (dedup
-    factor up to n_chips); the fan-out rides ICI where bandwidth is an
-    order of magnitude cheaper (BASELINE.md 1 chip / 1 host / N hosts
-    reporting points).
+    union over that host's chips (DCN) — then fans it out intra-host
+    over ICI. DCN rows per device drop from sum-over-remote-devices to
+    sum-over-remote-hosts-of-unions (dedup factor up to n_chips);
+    the fan-out rides ICI where bandwidth is an order of magnitude
+    cheaper (BASELINE.md 1 chip / 1 host / N hosts reporting points).
 
-    send_intra int32[ns, sum(intra_sizes)]  chip-offset segments
+    Fan-out flavors (round 4): the original all_gather fan-out ships
+    EVERY received union to every same-host chip — (n_chips-1) *
+    sum(inter_sizes) ICI rows/device, ~3x what chips actually read at
+    pod-slice scale. The ragged fan-out (``fanout="ragged"``, default)
+    forwards, per (host offset, chip offset), only the SUBSET of the
+    held union that the destination chip's edges reference — the chip
+    holding union[hd, s] (the one sharing s's chip index) gathers
+    needed[dst, s] out of it and ppermutes it tc chips over; the
+    tc == 0 destination reads the union buffer directly.
+
+    send_intra int32[ns, sum(intra_sizes)]  chip-offset segments (band
+               row ids)
     send_inter int32[ns, sum(inter_sizes)]  host-offset UNION segments
+               (band row ids)
+    send_fan   int32[ns, sum(fan_sizes)]    ragged fan-out: indices into
+               the RECEIVED union buffer (not the band); zeros(0, ...)
+               in all_gather mode
     col_remap  int32[ns, e_max]  into concat(zeros(8), intra segments,
-               all-gathered inter unions (chip-major), own band)
+               received unions, fan-out segments | all-gathered unions
+               (chip-major), own band)
+    fan_sizes  per-(host offset, chip offset) payload heights, flattened
+               th-major; None = all_gather fan-out
     """
 
     send_intra: np.ndarray  # host numpy until device placement
     send_inter: np.ndarray
+    send_fan: np.ndarray
     col_remap: np.ndarray
     intra_sizes: tuple
     inter_sizes: tuple
+    fan_sizes: Optional[tuple]
     n_hosts: int
     n_chips: int
     n_rows: int
 
     @property
     def halo_rows(self) -> int:
-        return 8 + sum(self.intra_sizes) + self.n_chips * sum(
-            self.inter_sizes)
+        if self.fan_sizes is None:
+            return 8 + sum(self.intra_sizes) + self.n_chips * sum(
+                self.inter_sizes)
+        return (8 + sum(self.intra_sizes) + sum(self.inter_sizes)
+                + sum(self.fan_sizes))
 
     @property
     def exchange_fraction(self) -> float:
@@ -278,16 +301,25 @@ class HierHaloPlan:
     @property
     def ici_gather_rows(self) -> int:
         """Rows each device pulls over ICI in the inter-union fan-out."""
-        return (self.n_chips - 1) * sum(self.inter_sizes)
+        if self.fan_sizes is None:
+            return (self.n_chips - 1) * sum(self.inter_sizes)
+        return sum(self.fan_sizes)
 
     @property
     def device_arrays(self) -> tuple:
-        return (self.send_intra, self.send_inter, self.col_remap)
+        return (self.send_intra, self.send_inter, self.send_fan,
+                self.col_remap)
 
 
 def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
-                         n_chips: int) -> HierHaloPlan:
-    """Hierarchical exchange plan; shard id = host * n_chips + chip."""
+                         n_chips: int,
+                         fanout: str = "ragged") -> HierHaloPlan:
+    """Hierarchical exchange plan; shard id = host * n_chips + chip.
+
+    fanout: "ragged" (default) forwards only the per-destination needed
+    subsets of each received union over the chip axis; "all_gather"
+    keeps the round-3 full-union broadcast (see HierHaloPlan)."""
+    assert fanout in ("ragged", "all_gather"), fanout
     ns, rps = sg.n_shards, sg.rows_per_shard
     assert ns == n_hosts * n_chips
     cols = np.asarray(sg.cols)
@@ -327,17 +359,51 @@ def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
     for t in range(1, n_chips):
         intra_base[t] = off
         off += intra_sizes[t - 1]
-    inter_base = off  # gathered unions start here (chip-major)
+    inter_base = off  # received unions start here
     sum_inter = sum(inter_sizes)
     ioff = {}
     o = 0
     for th in range(1, n_hosts):
         ioff[th] = o
         o += inter_sizes[th - 1]
-    band_off = inter_base + n_chips * sum_inter
+
+    # ragged fan-out: per (host offset, chip offset), the forwarder
+    # (h, c) holds union[h, s] for s = ((h-th)%nh)*nc + c and ships the
+    # subset needed[(h, (c+tc)%nc), s] — only rows the destination reads
+    fan_sizes = None
+    fan_off = {}
+    sum_fan = 0
+    if fanout == "ragged":
+        # needed[dst, src] is a subset of union[host(dst), src] by
+        # construction, so the forwarded subset IS the needed set
+        fs_list = []
+        for th in range(1, n_hosts):
+            for tc in range(1, n_chips):
+                h = max(
+                    len(needed[hh * n_chips + (c + tc) % n_chips,
+                               ((hh - th) % n_hosts) * n_chips + c])
+                    for hh in range(n_hosts) for c in range(n_chips))
+                fs_list.append(_round_up(h, 8) if h else 0)
+        fan_sizes = tuple(fs_list)
+        sum_fan = sum(fan_sizes)
+        fan_base = 8 + sum(intra_sizes) + sum_inter
+        o, i = 0, 0
+        for th in range(1, n_hosts):
+            for tc in range(1, n_chips):
+                fan_off[th, tc] = fan_base + o
+                o += fan_sizes[i]
+                i += 1
+        band_off = fan_base + sum_fan
+    else:
+        band_off = inter_base + n_chips * sum_inter
 
     send_intra = np.zeros((ns, sum(intra_sizes)), dtype=np.int32)
     send_inter = np.zeros((ns, sum_inter), dtype=np.int32)
+    # min width 8: zero-element arrays lose their sharding spec under
+    # device_put (XLA canonicalizes them to replicated), breaking
+    # shard_map in_specs; the pad is never read (fan offsets stop at
+    # sum_fan)
+    send_fan = np.zeros((ns, max(sum_fan, 8)), dtype=np.int32)
     for s in range(ns):
         hs, cs = divmod(s, n_chips)
         o = 0
@@ -354,6 +420,23 @@ def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
             u = union[(hs + th) % n_hosts, s]
             send_inter[s, o:o + len(u)] = u
             o += inter_sizes[th - 1]
+        if fanout == "ragged":
+            # here (hs, cs) acts as the FORWARDER (h, c): indices into
+            # its received union buffer B (th-major segments)
+            o, i = 0, 0
+            for th in range(1, n_hosts):
+                src = ((hs - th) % n_hosts) * n_chips + cs
+                u = union[hs, src]
+                for tc in range(1, n_chips):
+                    if fan_sizes[i] == 0:
+                        i += 1
+                        continue
+                    dst = hs * n_chips + (cs + tc) % n_chips
+                    sub = needed[dst, src]
+                    pos = ioff[th] + np.searchsorted(u, sub)
+                    send_fan[s, o:o + len(sub)] = pos
+                    o += fan_sizes[i]
+                    i += 1
 
     col_remap = np.zeros((ns, e_max), dtype=np.int32)
     for d in range(ns):
@@ -366,22 +449,33 @@ def build_halo_plan_hier(sg: ShardedGraph, n_hosts: int,
                 col_remap[d, slots] = band_off + lids
                 continue
             hs, cs = divmod(s, n_chips)
+            th = (hd - hs) % n_hosts
+            tc = (cd - cs) % n_chips
             if hs == hd:
                 u = needed[d, s]
-                base = intra_base[(cd - cs) % n_chips]
+                base = intra_base[tc]
+            elif fanout == "ragged" and tc != 0:
+                # rows arrive via the ragged fan-out segment holding
+                # exactly needed[d, s]
+                u = needed[d, s]
+                base = fan_off[th, tc]
+            elif fanout == "ragged":
+                # same chip index: read the received union directly
+                u = union[hd, s]
+                base = inter_base + ioff[th]
             else:
                 u = union[hd, s]
-                base = inter_base + cs * sum_inter + ioff[(hd - hs)
-                                                          % n_hosts]
+                base = inter_base + cs * sum_inter + ioff[th]
             pos = np.searchsorted(u, lids)
             if len(lids):
                 assert np.array_equal(u[pos], lids), \
                     "hier halo plan missed a boundary row"
             col_remap[d, slots] = base + pos
     return HierHaloPlan(
-        send_intra=send_intra, send_inter=send_inter,
+        send_intra=send_intra, send_inter=send_inter, send_fan=send_fan,
         col_remap=col_remap,   # host numpy; see build_halo_plan_ragged
         intra_sizes=intra_sizes, inter_sizes=inter_sizes,
+        fan_sizes=fan_sizes,
         n_hosts=n_hosts, n_chips=n_chips, n_rows=sg.n_rows,
     )
 
@@ -473,18 +567,20 @@ def _exchange_halo_ragged(sizes, n_shards, plan_arrays, x_band,
     return jnp.concatenate(parts, axis=0).astype(out_dtype)
 
 
-def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
-                        plan_arrays, x_band, axis_name, pre=None,
-                        wire_dtype=None):
+def _exchange_halo_hier(intra_sizes, inter_sizes, fan_sizes, n_hosts,
+                        n_chips, plan_arrays, x_band, axis_name,
+                        pre=None, wire_dtype=None):
     """Two-level exchange (HierHaloPlan): ragged chip-offset ppermutes
     for same-host boundaries, then per-host-offset ppermutes of the
-    UNION rows over the host axis (DCN) and one all_gather fan-out over
-    the chip axis (ICI). ``axis_name`` must be the (host, chip) tuple.
-    ``pre`` / ``wire_dtype`` as in _exchange_halo_ragged (applied to
-    both send sets; wire_dtype halves DCN union bytes AND the ICI
-    fan-out bytes)."""
+    UNION rows over the host axis (DCN) and an ICI fan-out of the
+    received unions over the chip axis — ragged per-(host offset, chip
+    offset) forwards of just the needed subsets when ``fan_sizes`` is
+    set, else one full all_gather. ``axis_name`` must be the (host,
+    chip) tuple. ``pre`` / ``wire_dtype`` as in _exchange_halo_ragged
+    (applied to both send sets; wire_dtype halves DCN union bytes AND
+    the ICI fan-out bytes)."""
     host_axis, chip_axis = axis_name
-    send_intra, send_inter, _ = plan_arrays
+    send_intra, send_inter, send_fan, _ = plan_arrays
     rows_i, out_dtype = _prep_send(x_band, send_intra.reshape(-1), pre,
                                    wire_dtype)
     parts = [jnp.zeros((8, rows_i.shape[1]), rows_i.dtype)]
@@ -510,10 +606,30 @@ def _exchange_halo_hier(intra_sizes, inter_sizes, n_hosts, n_chips,
     if recvs:
         inter = (recvs[0] if len(recvs) == 1
                  else jnp.concatenate(recvs, axis=0))
-        # ICI fan-out: every chip needs the unions received by its
-        # same-host peers (chip-major layout, matching col_remap)
-        parts.append(jax.lax.all_gather(inter, chip_axis, axis=0,
-                                        tiled=True))
+        if fan_sizes is None:
+            # full fan-out: every chip gets every union its same-host
+            # peers received (chip-major layout, matching col_remap)
+            parts.append(jax.lax.all_gather(inter, chip_axis, axis=0,
+                                            tiled=True))
+        else:
+            # ragged fan-out: the received-union buffer is readable
+            # in place (tc == 0 edges), then per (host offset, chip
+            # offset) only the destination's needed subset moves
+            parts.append(inter)
+            rows_f = jnp.take(inter, send_fan.reshape(-1), axis=0)
+            off_f = 0
+            i = 0
+            for th in range(1, n_hosts):
+                for tc in range(1, n_chips):
+                    h = fan_sizes[i]
+                    i += 1
+                    if h == 0:
+                        continue
+                    perm = [(c, (c + tc) % n_chips)
+                            for c in range(n_chips)]
+                    parts.append(jax.lax.ppermute(
+                        rows_f[off_f:off_f + h], chip_axis, perm))
+                    off_f += h
     return jnp.concatenate(parts, axis=0).astype(out_dtype)
 
 
@@ -525,8 +641,8 @@ def make_halo_exchange(plan, wire_dtype=None):
     payload for the collectives only — see _exchange_halo_ragged."""
     if isinstance(plan, HierHaloPlan):
         return partial(_exchange_halo_hier, plan.intra_sizes,
-                       plan.inter_sizes, plan.n_hosts, plan.n_chips,
-                       wire_dtype=wire_dtype)
+                       plan.inter_sizes, plan.fan_sizes, plan.n_hosts,
+                       plan.n_chips, wire_dtype=wire_dtype)
     if isinstance(plan, RaggedHaloPlan):
         return partial(_exchange_halo_ragged, plan.sizes, plan.n_shards,
                        wire_dtype=wire_dtype)

@@ -321,7 +321,13 @@ class FullStepRow:
 
 
 def _hier_volumes(needed, d, n_hosts, n_chips, hub_min_demand=0):
-    """(inter_rows, intra_rows, hub_stats) from pair boundary sets.
+    """(inter_rows, intra_plus_fan_rows, hub_stats) from boundary sets.
+
+    ICI counts match the shipped hier plan's RAGGED fan-out (round 4,
+    halo.build_halo_plan_hier fanout="ragged"): received unions are
+    readable in place at chip offset 0 and only per-destination needed
+    subsets move at other chip offsets — not the (n_chips-1) x unions
+    all_gather the round-3 model charged.
 
     hub_min_demand > 0 evaluates the hub-replication variant: rows
     referenced by >= that many remote hosts are pulled out of every
@@ -368,6 +374,21 @@ def _hier_volumes(needed, d, n_hosts, n_chips, hub_min_demand=0):
                 if (hh * n_chips + c, l) not in hubset)
             for hh in range(n_hosts) for c in range(n_chips))
         intra += _ceil_to(h, 8) if h else 0
+    # ragged fan-out rows: per (host offset, chip offset != 0), the
+    # destination's needed subset of the union (hub rows excluded —
+    # they'd be replicated)
+    fan = 0
+    for th in range(1, n_hosts):
+        for tc in range(1, n_chips):
+            h = max(
+                sum(1 for l in needed[
+                    hh * n_chips + (c + tc) % n_chips,
+                    ((hh - th) % n_hosts) * n_chips + c].tolist()
+                    if (((hh - th) % n_hosts) * n_chips + c, l)
+                    not in hubset)
+                for hh in range(n_hosts) for c in range(n_chips))
+            fan += _ceil_to(h, 8) if h else 0
+    intra += fan
     if hub_stats is not None:
         inter += hub_stats["allgather_dcn_rows"]
         intra += (n_chips - 1) * n_hosts * hub_stats["hub_per_shard"]
@@ -432,19 +453,22 @@ def project_weak_scaling_fullstep(
 
     workload: "powerlaw" (degree-corrected SBM — the realistic class:
     every graph in the reference roster is heavy-tailed, see
-    row_analysis/) or "sbm" (near-adversarial uniform-degree case the
-    round-3 projection used). Returns (rows, meta): rows are
-    FullStepRow per device count, meta records every assumption +
-    the SpMM rate's provenance.
+    row_analysis/), "sbm" (near-adversarial uniform-degree case the
+    round-3 projection used), or "geometric" (spatial-locality class:
+    road networks / meshes / point clouds, where the reorder recovers
+    near-planar bands). Returns (rows, meta): rows are FullStepRow per
+    device count, meta records every assumption + the SpMM rate's
+    provenance.
     """
-    from gcn_tpu.data.synthetic import powerlaw_sbm, sbm
+    from gcn_tpu.data.synthetic import geometric, powerlaw_sbm, sbm
     from gcn_tpu.graph.normalize import gcn_normalize
     from gcn_tpu.parallel.halo import _pair_boundaries, build_halo_plan_ragged
     from gcn_tpu.parallel.partition import (band_degree_sort_order,
                                             shard_graph_by_rows)
     from gcn_tpu.reorder import reorder_graph
 
-    gen = {"powerlaw": powerlaw_sbm, "sbm": sbm}[workload]
+    gen = {"powerlaw": powerlaw_sbm, "sbm": sbm,
+           "geometric": geometric}[workload]
     if spmm_edges_per_s is None:
         rate, rate_src = measured_spmm_rate()
     else:
@@ -488,7 +512,7 @@ def project_weak_scaling_fullstep(
             inter, intra, _ = _hier_volumes(needed, d, hosts,
                                             chips_per_host)
             dcn_rows = inter
-            ici_rows = intra + (chips_per_host - 1) * inter
+            ici_rows = intra   # fan-out rows included (ragged fan-out)
             if hub_check:
                 # exact-volume hub-replication comparison: sweep the
                 # demand threshold, keep the best variant's DCN delta
@@ -508,9 +532,7 @@ def project_weak_scaling_fullstep(
                     hub_delta = int(best[0] - dcn_rows)
                     hub_best = dict(best[2],
                                     dcn_rows=int(best[0]),
-                                    ici_rows=int(
-                                        best[1] + (chips_per_host - 1)
-                                        * best[0]))
+                                    ici_rows=int(best[1]))
 
         # --- time model: 2-layer step = 4 exchange phases -----------------
         k32 = edges_dev / rate  # full-band SpMM at k=32

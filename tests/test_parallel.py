@@ -730,3 +730,75 @@ def test_planners_scale_to_pod_slice(rng):
     # host-level unions never ship more DCN rows than the flat plan's
     # per-peer segments cover in total
     assert hier.dcn_fraction <= plan.exchange_fraction + 1e-9
+
+
+def test_hier_fanout_modes_agree(rng):
+    """Ragged fan-out (round 4 default) vs all_gather fan-out: identical
+    SpMM results (the fan segments carry exactly the needed subsets),
+    strictly fewer ICI rows, same DCN rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcn_tpu.data.synthetic import class_features, powerlaw_sbm
+    from gcn_tpu.parallel import (build_halo_plan_hier, create_mesh_hier,
+                                  shard_graph_by_rows)
+    from gcn_tpu.parallel.halo import dist_spmm_halo, make_halo_exchange
+    from gcn_tpu.parallel.partition import pad_rows
+    from gcn_tpu.graph.normalize import gcn_normalize
+
+    n = 512
+    adj_g, labels = powerlaw_sbm(n=n, n_classes=5, avg_degree=8.0, seed=3)
+    g = gcn_normalize(adj_g)
+    x = class_features(labels, feat_dim=16, seed=3)
+    mesh = create_mesh_hier(2, 4)
+    sg = shard_graph_by_rows(g, 8)
+
+    plans = {m: build_halo_plan_hier(sg, 2, 4, fanout=m)
+             for m in ("ragged", "all_gather")}
+    pr, pa = plans["ragged"], plans["all_gather"]
+    assert pr.inter_sizes == pa.inter_sizes          # DCN identical
+    assert pr.ici_gather_rows <= pa.ici_gather_rows  # fan never larger
+    assert pr.fan_sizes is not None and pa.fan_sizes is None
+
+    from functools import partial as _p
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    outs = {}
+    for m, plan in plans.items():
+        ex = make_halo_exchange(plan)
+        arrs = plan.device_arrays
+
+        @_p(jax.shard_map, mesh=mesh,
+            in_specs=(tuple(P(("host", "chip"),
+                             *([None] * (a.ndim - 1))) for a in
+                            (sg.rows_local, sg.cols, sg.vals)),
+                      tuple(P(("host", "chip"),
+                              *([None] * (a.ndim - 1))) for a in arrs),
+                      P(("host", "chip"), None)),
+            out_specs=P(("host", "chip"), None), check_vma=False)
+        def run(shard_arrays, plan_arrays, x_band):
+            return dist_spmm_halo(shard_arrays, plan_arrays, x_band,
+                                  sg.rows_per_shard, ("host", "chip"),
+                                  exchange=ex)
+
+        sharding = NamedSharding(mesh, P(("host", "chip"), None))
+        put = lambda a, nd: jax.device_put(jnp.asarray(a), NamedSharding(
+            mesh, P(("host", "chip"), *([None] * (nd - 1)))))
+        shard_arrays = tuple(put(a, np.asarray(a).ndim)
+                             for a in (sg.rows_local, sg.cols, sg.vals))
+        plan_dev = tuple(put(a, np.asarray(a).ndim) for a in arrs)
+        xs = jax.device_put(jnp.asarray(pad_rows(x, sg)), sharding)
+        outs[m] = np.asarray(run(shard_arrays, plan_dev, xs))
+
+    np.testing.assert_allclose(outs["ragged"], outs["all_gather"],
+                               rtol=1e-6, atol=1e-7)
+    # and both match the dense reference
+    dense = np.zeros(g.shape, np.float32)
+    indptr, idx = np.asarray(g.indptr), np.asarray(g.indices)
+    for i in range(n):
+        dense[i, idx[indptr[i]:indptr[i + 1]]] = np.asarray(
+            g.data)[indptr[i]:indptr[i + 1]]
+    ref = dense @ x
+    np.testing.assert_allclose(outs["ragged"][:n], ref, rtol=1e-4,
+                               atol=1e-5)
