@@ -56,10 +56,21 @@ def main():
                     help="identity|degree|dfs|rcm|gorder|gorder3|rabbit "
                          "(rabbit minimizes the halo; in-band degree sort "
                          "is composed automatically)")
+    ap.add_argument("--exchange-chunk", type=int, default=32,
+                    help="k-chunk the exchange + boundary aggregation at "
+                         "layer widths past this (0 = monolithic; "
+                         "docs/RESULTS_r4.md)")
     ap.add_argument("--dropout", type=float, default=0.5)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--weight-decay", type=float, default=5e-4)
     ap.add_argument("--seed", type=int, default=15)
+    ap.add_argument("--save-state", default=None, metavar="PATH",
+                    help="write the full resumable training state "
+                         "(params + optimizer + iteration) after the run")
+    ap.add_argument("--resume-state", default=None, metavar="PATH",
+                    help="continue from a --save-state checkpoint; the "
+                         "per-iteration fold_in rng stream makes "
+                         "resume == uninterrupted exactly")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +129,8 @@ def main():
     step, eval_fn, shard_fn = make_sharded_gcn_train_step(
         mesh, sg, tx, dropout=args.dropout, exchange=args.exchange,
         overlap=not args.no_overlap,
-        exchange_dtype="bf16" if args.halo_bf16 else None)
+        exchange_dtype="bf16" if args.halo_bf16 else None,
+        exchange_chunk=args.exchange_chunk or None)
 
     adj, xs, ys, ms = shard_fn(sg, pad_rows(x.astype(np.float32), sg),
                                pad_rows(labels, sg), pad_rows(mask_tr, sg))
@@ -126,6 +138,13 @@ def main():
                              data.num_features, args.hidden,
                              data.num_classes)
     opt_state = tx.init(params)
+    it0 = 0
+    if args.resume_state:
+        from gcn_tpu.utils.checkpoint import load_training_state
+
+        params, opt_state, it0, _ = load_training_state(
+            args.resume_state, params, opt_state)
+        print(f"resumed from {args.resume_state} at iteration {it0}")
 
     plan_frac = None
     if args.exchange in ("halo", "halo_padded"):
@@ -138,11 +157,14 @@ def main():
         plan_frac = build_halo_plan_hier(sg, nh, nc).exchange_fraction
     t0 = time.time()
     losses = []
-    for i in range(args.train_iters):
+    for i in range(it0, it0 + args.train_iters):
+        # per-iteration fold_in: the rng at iteration i is a pure
+        # function of (seed, i), so resumed and uninterrupted runs use
+        # identical dropout streams
         params, opt_state, loss = step(
             params, opt_state, jax.random.fold_in(
                 jax.random.PRNGKey(args.seed + 1), i), adj, xs, ys, ms)
-        if i == 0:
+        if i == it0:
             jax.block_until_ready(loss)
             t_warm = time.time() - t0
             print(f"first step (compile) {t_warm:.2f}s")
@@ -153,6 +175,13 @@ def main():
     per_it = (time.time() - t0) / max(args.train_iters - 1, 1)
     print(f"fit done: {per_it*1e3:.2f} ms/iter warm "
           f"({args.train_iters} iters, final loss {losses[-1]:.4f})")
+    if args.save_state:
+        from gcn_tpu.utils.checkpoint import save_training_state
+
+        save_training_state(args.save_state, jax.device_get(params),
+                            jax.device_get(opt_state),
+                            it0 + args.train_iters)
+        print(f"saved training state to {args.save_state}")
 
     lp = np.asarray(eval_fn(params, adj, xs))[:n]
     pred = lp.argmax(axis=1)

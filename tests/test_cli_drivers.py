@@ -49,3 +49,27 @@ def test_train_gcn_dist_cli_smoke():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "Test set results" in r.stdout
     assert "exchange fraction" in r.stdout
+
+
+def test_train_gcn_dist_resume_matches_uninterrupted(tmp_path):
+    """6 iters straight == 3 iters + save + resume 3 more: the sharded
+    CLI's fold_in(seed, i) rng stream and npz state make distributed
+    training exactly resumable (the single-chip driver's guarantee,
+    extended to the mesh path)."""
+    st = str(tmp_path / "dist_state")
+    full = _run(["examples/train_gcn_dist.py", "-g", "synth-tiny",
+                 "-k", "8", "-i", "6", "--dropout", "0.5"])
+    assert full.returncode == 0, full.stderr[-2000:]
+    a = _run(["examples/train_gcn_dist.py", "-g", "synth-tiny", "-k", "8",
+              "-i", "3", "--dropout", "0.5", "--save-state", st])
+    assert a.returncode == 0, a.stderr[-2000:]
+    b = _run(["examples/train_gcn_dist.py", "-g", "synth-tiny", "-k", "8",
+              "-i", "3", "--dropout", "0.5", "--resume-state", st])
+    assert b.returncode == 0, b.stderr[-2000:]
+    assert "resumed from" in b.stdout
+
+    def final_loss(out):
+        line = [l for l in out.splitlines() if "final loss" in l][-1]
+        return float(line.rsplit("final loss", 1)[1].strip(" )"))
+
+    assert abs(final_loss(full.stdout) - final_loss(b.stdout)) < 1e-5
