@@ -4,7 +4,8 @@ from gcn_tpu.parallel.halo import (HaloPlan, HierHaloPlan,
                                    build_halo_plan_ragged,
                                    dist_spmm_halo, make_halo_exchange)
 from gcn_tpu.parallel.mesh import (create_mesh, create_mesh_2d,
-                                   create_mesh_hier)
+                                   create_mesh_hier,
+                                   create_mesh_hier_model)
 from gcn_tpu.parallel.partition import (ShardedGraph,
                                         band_degree_sort_order,
                                         shard_graph_by_rows)
@@ -22,6 +23,7 @@ __all__ = [
     "create_mesh",
     "create_mesh_2d",
     "create_mesh_hier",
+    "create_mesh_hier_model",
     "dist_spmm_halo",
     "make_halo_exchange",
     "ShardedGraph",

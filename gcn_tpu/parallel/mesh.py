@@ -58,6 +58,25 @@ def create_mesh_hier(n_hosts: int, n_chips: int,
                          devices=devices[:need])
 
 
+def create_mesh_hier_model(
+        n_hosts: int, n_chips: int, n_model: int,
+        axis_names: Sequence[str] = ("host", "chip", "model")) -> Mesh:
+    """3-D mesh: hierarchical row partition (host x chip — the halo_hier
+    exchange's DCN/ICI levels) x tensor parallelism ("model"). The model
+    axis should map to the fastest links (same-host chips), so on a real
+    slice order devices host-major with model-axis neighbors adjacent;
+    the fake CPU mesh just reshapes. See
+    make_sharded_gcn_train_step(exchange="halo_hier", model_axis=...)."""
+    devices = jax.devices()
+    need = n_hosts * n_chips * n_model
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_hosts}x{n_chips}x{n_model} devices, "
+            f"have {len(devices)}")
+    return jax.make_mesh((n_hosts, n_chips, n_model), tuple(axis_names),
+                         devices=devices[:need])
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> Mesh:

@@ -124,8 +124,10 @@ def make_sharded_gcn_train_step(
     opt_state, loss); eval_fn(params, adj, x) -> log_probs (row-sharded);
     shard_fn places host arrays with the right shardings.
 
-    ``model_axis``: name of a SECOND mesh axis for tensor parallelism
-    over the feature/hidden dimension (create_mesh_2d). Per band:
+    ``model_axis``: name of an extra mesh axis for tensor parallelism
+    over the feature/hidden dimension (create_mesh_2d, or
+    create_mesh_hier_model for the hier x model 3-D composition —
+    exchange="halo_hier" with axis=("host", "chip")). Per band:
     x is column-sharded, X@W1 computes a partial product that
     psum_scatters into hidden shards, the halo exchange + layer-1
     aggregation and the layer-2 SpMM run on the hidden SHARD (splitting
@@ -157,8 +159,6 @@ def make_sharded_gcn_train_step(
         from gcn_tpu.parallel.halo import (build_halo_plan_hier,
                                            make_halo_exchange)
 
-        assert model_axis is None, \
-            "halo_hier does not compose with model_axis yet"
         if not isinstance(axis, tuple):
             axis = ("host", "chip")
         nh, nc = mesh.shape[axis[0]], mesh.shape[axis[1]]

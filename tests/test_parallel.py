@@ -802,3 +802,46 @@ def test_hier_fanout_modes_agree(rng):
     ref = dense @ x
     np.testing.assert_allclose(outs["ragged"][:n], ref, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_hier_mesh_with_model_axis_matches_unsharded(rng):
+    """3-D mesh (host x chip x model): hierarchical halo exchange + tensor
+    parallelism compose — the dp(hier) x tp configuration a multi-host
+    deployment runs. One train step + eval on a 2x2x2 mesh must match the
+    unsharded dense forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from gcn_tpu.data.synthetic import class_features, sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.models.gcn_core import gcn_forward, init_gcn_params
+    from gcn_tpu.ops.adjacency import device_adjacency
+    from gcn_tpu.parallel import (create_mesh_hier_model,
+                                  make_sharded_gcn_train_step,
+                                  shard_graph_by_rows)
+    from gcn_tpu.parallel.partition import pad_rows
+    from gcn_tpu.train.optim import adam_l2
+
+    n, classes, feat, nhid = 512, 4, 16, 16
+    adj_g, labels = sbm(n=n, n_classes=classes, avg_degree=8.0, seed=3)
+    g = gcn_normalize(adj_g)
+    x = class_features(labels, feat_dim=feat, seed=3)
+    mesh = create_mesh_hier_model(2, 2, 2)
+    sg = shard_graph_by_rows(g, 4)   # row bands span host x chip
+
+    params = init_gcn_params(jax.random.PRNGKey(0), feat, nhid, classes)
+    tx = adam_l2(0.01, 5e-4)
+    step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.0, exchange="halo_hier",
+        model_axis="model")
+    mask = np.ones(n, np.float32)
+    adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg), pad_rows(labels, sg),
+                               pad_rows(mask, sg))
+    p2, _, loss = step(params, tx.init(params), jax.random.PRNGKey(1),
+                       adj, xs, ys, ms)
+    assert np.isfinite(float(loss))
+    lp = np.asarray(eval_fn(p2, adj, xs))[:n]
+    ref = gcn_forward(jax.device_get(p2), jnp.asarray(x),
+                      device_adjacency(g, "dense"),
+                      orders=("a_xw", "a_xw"), train=False)
+    np.testing.assert_allclose(lp, np.asarray(ref), rtol=5e-4, atol=5e-4)
