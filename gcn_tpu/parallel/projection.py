@@ -299,7 +299,10 @@ class FullStepRow:
     n_rows: int
     edges_per_device: int
     interior_frac: float        # fraction of real slots with own-band src
-    dcn_rows: int               # per device per exchange (hier unions)
+    dcn_rows: int               # per device per exchange (hier unions,
+                                # lockstep per-offset-max — wire truth)
+    dcn_rows_mean: int          # per-source mean (the balanced floor;
+                                # ratio to dcn_rows = lockstep padding)
     ici_rows: int               # intra segments + union fan-out (or flat)
     t_comp_ms: float            # full train step compute, modeled
     exposed_ms: float           # exposed comm at scale 1.0, chunked
@@ -321,7 +324,13 @@ class FullStepRow:
 
 
 def _hier_volumes(needed, d, n_hosts, n_chips, hub_min_demand=0):
-    """(inter_rows, intra_plus_fan_rows, hub_stats) from boundary sets.
+    """(inter_rows, intra_plus_fan_rows, inter_rows_mean, hub_stats)
+    from boundary sets. ``inter_rows`` is the lockstep per-offset-max
+    total (what the static-shape ppermutes physically ship, padding
+    included); ``inter_rows_mean`` is the per-source mean — their ratio
+    is the padding a per-offset-uniform payload pays for source
+    imbalance (measured 1.28x at d=256 power-law; per-source TOTALS are
+    near-balanced at 1.07x, so the waste is per-offset, not per-NIC).
 
     ICI counts match the shipped hier plan's RAGGED fan-out (round 4,
     halo.build_halo_plan_hier fanout="ragged"): received unions are
@@ -360,12 +369,15 @@ def _hier_volumes(needed, d, n_hosts, n_chips, hub_min_demand=0):
                          hub_per_shard=hps,
                          allgather_dcn_rows=(n_hosts - 1) * hps)
     inter = 0
+    inter_mean = 0.0
     for th in range(1, n_hosts):
-        h = max(
-            sum(1 for l in union[(s // n_chips + th) % n_hosts, s].tolist()
-                if (s, l) not in hubset)
-            for s in range(d))
+        sizes = [sum(1 for l in union[(s // n_chips + th) % n_hosts,
+                                      s].tolist()
+                     if (s, l) not in hubset)
+                 for s in range(d)]
+        h = max(sizes)
         inter += _ceil_to(h, 8) if h else 0
+        inter_mean += sum(sizes) / max(len(sizes), 1)
     intra = 0
     for t in range(1, n_chips):
         h = max(
@@ -392,7 +404,7 @@ def _hier_volumes(needed, d, n_hosts, n_chips, hub_min_demand=0):
     if hub_stats is not None:
         inter += hub_stats["allgather_dcn_rows"]
         intra += (n_chips - 1) * n_hosts * hub_stats["hub_per_shard"]
-    return inter, intra, hub_stats
+    return inter, intra, int(inter_mean), hub_stats
 
 
 def _fullstep_exposed(phases, scale, chunked):
@@ -504,14 +516,16 @@ def project_weak_scaling_fullstep(
                 f"but does not divide it")
 
         hub_delta = hub_best = None
+        dcn_rows_mean = 0
         if hosts == 1:
             pr = build_halo_plan_ragged(sg)
             dcn_rows, ici_rows = 0, int(sum(pr.sizes))
         else:
             needed, _ = _pair_boundaries(sg)
-            inter, intra, _ = _hier_volumes(needed, d, hosts,
-                                            chips_per_host)
+            inter, intra, inter_mean, _ = _hier_volumes(needed, d, hosts,
+                                                        chips_per_host)
             dcn_rows = inter
+            dcn_rows_mean = inter_mean
             ici_rows = intra   # fan-out rows included (ragged fan-out)
             if hub_check:
                 # exact-volume hub-replication comparison: sweep the
@@ -523,9 +537,9 @@ def project_weak_scaling_fullstep(
                     # only tie union shipping, never beat it
                     if md < 2 or (hosts - 1) < md:
                         continue
-                    i2, a2, st = _hier_volumes(needed, d, hosts,
-                                               chips_per_host,
-                                               hub_min_demand=md)
+                    i2, a2, _, st = _hier_volumes(needed, d, hosts,
+                                                  chips_per_host,
+                                                  hub_min_demand=md)
                     if best is None or i2 < best[0]:
                         best = (i2, a2, st)
                 if best is not None:
@@ -559,7 +573,8 @@ def project_weak_scaling_fullstep(
         rows.append(FullStepRow(
             devices=d, hosts=hosts, n_rows=n,
             edges_per_device=edges_dev, interior_frac=interior,
-            dcn_rows=int(dcn_rows), ici_rows=int(ici_rows),
+            dcn_rows=int(dcn_rows), dcn_rows_mean=int(dcn_rows_mean),
+            ici_rows=int(ici_rows),
             t_comp_ms=t_comp * 1e3,
             exposed_ms=_fullstep_exposed(phases, 1.0, True) * 1e3,
             eff=eff, eff_unchunked=eff_un,
