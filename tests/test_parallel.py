@@ -845,3 +845,50 @@ def test_hier_mesh_with_model_axis_matches_unsharded(rng):
                       device_adjacency(g, "dense"),
                       orders=("a_xw", "a_xw"), train=False)
     np.testing.assert_allclose(lp, np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_hier_chunked_exchange_matches_monolithic(rng):
+    """k-chunked exchange composes with the hierarchical host x chip
+    plan (the configuration the full-step projection credits at
+    multi-host scale): chunk=16 at nhid=40 == monolithic, training and
+    eval."""
+    import jax
+
+    from gcn_tpu.data.synthetic import class_features, sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.models.gcn_core import init_gcn_params
+    from gcn_tpu.parallel import (create_mesh_hier,
+                                  make_sharded_gcn_train_step,
+                                  shard_graph_by_rows)
+    from gcn_tpu.parallel.partition import pad_rows
+    from gcn_tpu.train.optim import adam_l2
+
+    n = 512
+    adj_g, labels = sbm(n=n, n_classes=4, avg_degree=8.0, seed=3)
+    g = gcn_normalize(adj_g)
+    x = class_features(labels, feat_dim=16, seed=3)
+    mesh = create_mesh_hier(2, 4)
+    sg = shard_graph_by_rows(g, 8)
+    tx = adam_l2(0.01, 5e-4)
+    mask = np.ones(n, np.float32)
+    results = {}
+    for chunk in (16, None):
+        params = init_gcn_params(jax.random.PRNGKey(0), 16, 40, 4)
+        step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+            mesh, sg, tx, dropout=0.0, exchange="halo_hier",
+            exchange_chunk=chunk)
+        adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                   pad_rows(labels, sg),
+                                   pad_rows(mask, sg))
+        opt_state = tx.init(params)
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state,
+                                           jax.random.PRNGKey(7), adj,
+                                           xs, ys, ms)
+            losses.append(float(loss))
+        results[chunk] = (losses, np.asarray(eval_fn(params, adj, xs)))
+    np.testing.assert_allclose(results[16][0], results[None][0],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(results[16][1], results[None][1],
+                               rtol=1e-5, atol=1e-6)
