@@ -29,7 +29,11 @@ from typing import Iterable, Optional
 
 _NONNEG_SUFFIXES = ("_ms", "_s", "_ns", "_us", "_per_s", "_rows", "_bytes",
                     "_slots", "_iters", "_edges")
-_UNIT_FRACTION = re.compile(r"(^|_)(eff\w*|\w*frac(tion)?)$")
+# "eff"/"eff_hier"/"efficiency"/"*_frac(tion)" are unit-interval; plain
+# word stems like "effective_gbps" must NOT match (a round-4 refresh of
+# the gather microbench tripped exactly that false positive)
+_UNIT_FRACTION = re.compile(
+    r"^(eff(_\w+)?|\w*efficiency|\w*_frac(tion)?|frac(tion)?)$")
 _PCT = re.compile(r"(^|_)\w*pct$")
 _EPS = 1e-6
 
@@ -50,8 +54,14 @@ def _walk(obj, path=""):
 
 
 def _key_leaf(path: str) -> str:
-    leaf = path.rsplit(".", 1)[-1]
-    return re.sub(r"\[\d+\]$", "", leaf)
+    """Last NON-numeric key segment: the values of an efficiency dict
+    keyed by bandwidth scale ("eff.0.5") must be judged by the dict's
+    name, not the numeric key."""
+    for seg in reversed(path.split(".")):
+        seg = re.sub(r"\[\d+\]$", "", seg)
+        if seg and not re.fullmatch(r"\d+", seg):
+            return seg
+    return path
 
 
 def validate_artifact(obj, allow: Iterable[str] = ()) -> list:

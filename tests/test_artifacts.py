@@ -47,3 +47,17 @@ def test_nan_refused_and_allowlist_respected():
 def test_nested_paths_reported():
     bad = validate_artifact({"rows": [{"a_ms": 1.0}, {"a_ms": -1.0}]})
     assert len(bad) == 1 and bad[0][0] == "rows[1].a_ms"
+
+
+def test_word_stems_do_not_false_positive():
+    # round-4 regression: 'effective'/'gbps' stems are NOT efficiencies
+    assert validate_artifact({"gather_effective_gbps_mid": 252.5,
+                              "stream_gbps": 600.0}) == []
+
+
+def test_nested_eff_dicts_are_validated():
+    # eff dicts keyed by bandwidth scale: values judged by the dict name
+    assert validate_artifact({"rows": [{"eff": {"0.5": 0.8,
+                                                "1.0": 1.0}}]}) == []
+    bad = validate_artifact({"rows": [{"eff": {"1.0": 1.7}}]})
+    assert len(bad) == 1 and "eff" in bad[0][0]
