@@ -286,7 +286,7 @@ def _split_hub_rows(indptr: np.ndarray, cap: int):
 
 
 def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
-                n: int, r: int, p: int):
+                n: int, r: int, p: int, max_pass_values: int = 0):
     deg = np.diff(indptr).astype(np.int64)
     num_windows = max(1, -(-n // r))
     n_pad = num_windows * r
@@ -294,6 +294,8 @@ def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     deg_pad[:n] = deg
     wmax = deg_pad.reshape(num_windows, r).max(axis=1)
     passes = np.maximum(1, -(-wmax // p))            # >=1: window always written
+    if max_pass_values:
+        passes = _quantize_passes(passes, max_pass_values)
     pass_off = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(passes, out=pass_off[1:])
     num_blocks = int(pass_off[-1])
@@ -331,13 +333,73 @@ def _span_plan(pass_off: np.ndarray) -> tuple:
 
 # The kernel emits one HLO gather+reduce segment per grouped span (plus
 # one per contiguous hub run). On a DEGREE-SORTED graph pass counts are
-# nonincreasing, so spans == distinct pass values (~44 on arxiv — the
-# intended program size, and what the span_pass_limit knob budgets for).
-# Without the sort, equal pass counts fragment into MANY runs (65+ on
-# pubmed measured; unbounded in general), blowing compile time and
-# risking the compile relay's program-size limit — those adjacencies
-# fall back to the single Pallas revisit reduce (round-1 path) instead.
+# nonincreasing, so spans == distinct pass values (~44 on arxiv at
+# k_pad=32 — the intended program size, and what the span_pass_limit
+# knob budgets for). Without the sort, equal pass counts fragment into
+# MANY runs (65+ on pubmed measured; unbounded in general), blowing
+# compile time and risking the compile relay's program-size limit —
+# those adjacencies fall back to the single Pallas revisit reduce
+# (round-1 path) instead. Degree-sorted graphs whose DISTINCT pass
+# values exceed the budget (small P — e.g. k_pad=128 makes P=1, so pass
+# counts are raw window max degrees) are instead QUANTIZED to an
+# optimal <=48-value pass ladder (_quantize_passes) so they keep the
+# grouped reduce.
 _MAX_REDUCE_SEGMENTS = 48
+
+
+def _quantize_passes(passes: np.ndarray, max_values: int) -> np.ndarray:
+    """Round per-window pass counts UP to an optimal ladder of at most
+    ``max_values`` distinct values (minimizing total padded slots).
+
+    Rationale: the grouped-XLA reduce emits one HLO segment per distinct
+    pass value, so distinct values are compile time / program size. At
+    k_pad=32 (P=4) degree-sorted graphs land at ~44 naturally, but at
+    k_pad=128 (P=1, the wide-feature single-gather-pass configuration)
+    pass counts are raw window max degrees — ~95 distinct on arxiv.
+    Choosing which values to keep is a 1-D partition DP: group the
+    ascending distinct values into <= max_values contiguous groups, each
+    group padding to its max; cost of a group is max_value * windows_in
+    _group. Exact DP, host-side, O(V^2 * S) with V ~ 100.
+
+    Monotone-safe: rounding up preserves the nonincreasing pass order a
+    degree sort produces, so spans stay contiguous. Measured on arxiv
+    P=1: unquantized 95 values / pad 0.031 -> 48 values / pad 0.043
+    (vs 0.123 at P=4). TPU effect (v5e serving, arxiv): the ladder keeps
+    k=128 x k_pad=128 on the grouped reduce at 6.35 ms (366.7M edges/s)
+    where the pre-ladder span guard dropped it to the Pallas-fallback
+    path, and k_pad=32 column-chunking takes 51.8 ms — 8.2x. At k=32 the
+    slot saving does NOT pay (8.59 ms vs 6.54 at k_pad=32: per-slot cost
+    rises with 128-lane slots), so DEFAULT_K_PAD stays 32 and the models
+    pick k_pad by their widest SpMM operand (models/gcn.py)."""
+    v, c = np.unique(passes, return_counts=True)  # ascending
+    V = len(v)
+    if V <= max_values:
+        return passes
+    C = np.concatenate([[0], np.cumsum(c)])
+    INF = np.inf
+    S = max_values
+    # f[j, s] = min slot-cost of covering distinct values 1..j (1-based)
+    # with s groups, the last group ending (and padding) at v[j-1]
+    f = np.full((V + 1, S + 1), INF)
+    f[0, 0] = 0.0
+    arg = np.zeros((V + 1, S + 1), dtype=np.int64)
+    for j in range(1, V + 1):
+        fs = f[:j]  # rows i = group start candidates
+        cost_tail = v[j - 1] * (C[j] - C[:j])  # windows i..j-1 pad to v[j-1]
+        for s in range(1, S + 1):
+            tot = fs[:, s - 1] + cost_tail
+            i = int(np.argmin(tot))
+            f[j, s] = tot[i]
+            arg[j, s] = i
+    s = int(np.argmin(f[V]))
+    j = V
+    mapped = np.empty(V, dtype=passes.dtype)
+    while j > 0:
+        i = arg[j, s]
+        mapped[i:j] = v[j - 1]
+        j, s = i, s - 1
+    lut = dict(zip(v.tolist(), mapped.tolist()))
+    return np.vectorize(lut.__getitem__)(passes).astype(passes.dtype)
 
 
 def _guard_spans(spans: tuple, span_pass_limit: int) -> tuple:
@@ -373,7 +435,28 @@ def _chunk_plan(pass_off: np.ndarray, p: int, r: int,
     return tuple(chunks)
 
 
+def _needs_pass_ladder(indptr, n, r, p) -> bool:
+    deg = np.diff(indptr).astype(np.int64)
+    num_windows = max(1, -(-n // r))
+    deg_pad = np.zeros(num_windows * r, dtype=np.int64)
+    deg_pad[:n] = deg
+    wmax = deg_pad.reshape(num_windows, r).max(axis=1)
+    passes = np.maximum(1, -(-wmax // p))
+    # quantization only pays on degree-SORTED graphs (nonincreasing
+    # passes -> spans == distinct values); unsorted graphs fragment into
+    # runs regardless and take the Pallas fallback, so padding them
+    # further would be a pure loss
+    return (len(np.unique(passes)) > _MAX_REDUCE_SEGMENTS
+            and bool((np.diff(passes) <= 0).all()))
+
+
 def _tile(indptr, indices, data, n, r, p, prefer_native):
+    # small P (e.g. k_pad=128 -> P=1) can push distinct pass values past
+    # the reduce-segment budget; the numpy layout applies the optimal
+    # pass ladder then (the native tiler lays out unquantized passes)
+    if _needs_pass_ladder(indptr, n, r, p):
+        return _ell_arrays(indptr, indices, data, n, r, p,
+                           max_pass_values=_MAX_REDUCE_SEGMENTS)
     if prefer_native:
         from gcn_tpu.tile import native
 
@@ -415,7 +498,16 @@ def ell_adjacency(
     assert r % 8 == 0, "row window must be sublane-aligned"
     assert k_pad in (8, 16, 32, 64, 128), "k_pad must divide 128"
     if span_pass_limit is None:
-        span_pass_limit = int(os.environ.get("GCN_TPU_SPAN_LIMIT", 16))
+        env = os.environ.get("GCN_TPU_SPAN_LIMIT")
+        # default budgets a constant 64 SLOTS/row whatever the packing:
+        # 16 passes at k_pad=32 (P=4, the measured compile/perf point),
+        # 64 passes at k_pad=128 (P=1). Env override is absolute passes.
+        span_pass_limit = (int(env) if env is not None
+                           else max(1, k_pad // 2))
+    if chunk_slots == DEFAULT_CHUNK_SLOTS and k_pad > DEFAULT_K_PAD:
+        # keep the products-buffer BYTE bound constant: slots are
+        # k_pad lanes wide, so wide-slot formats chunk at fewer slots
+        chunk_slots = chunk_slots * DEFAULT_K_PAD // k_pad
     if span_pass_limit <= 0:          # 0 / negative = unlimited (serving)
         span_pass_limit = 1 << 30
     if hub_split is None:

@@ -588,3 +588,84 @@ def test_freq_split_wrong_kind_raises(rng):
     for kind in ("dense", "coo", "auto"):
         with _pytest.raises(ValueError, match="freq_split requires"):
             device_adjacency(g, kind, freq_split=True)
+
+
+def _ladder_graph(rng, n_win=60, r=8):
+    """Degree-sorted graph whose windows have n_win distinct max degrees
+    (> _MAX_REDUCE_SEGMENTS at P=1), exercising the pass ladder."""
+    degs = np.repeat(np.arange(n_win, 0, -1), r)  # nonincreasing
+    n = len(degs)
+    indptr = np.concatenate([[0], np.cumsum(degs)]).astype(np.int64)
+    indices = rng.integers(0, n, indptr[-1]).astype(np.int32)
+    data = rng.random(indptr[-1]).astype(np.float32)
+    return CSRGraph(indptr=indptr, indices=indices, data=data, shape=(n, n))
+
+
+def test_quantize_passes_valid_and_optimal():
+    """_quantize_passes: rounds up, stays nonincreasing, respects the
+    value budget, and is slot-optimal vs brute force on a small case."""
+    import itertools
+
+    from gcn_tpu.tile.ell import _quantize_passes
+
+    passes = np.array([9, 9, 7, 5, 5, 4, 2, 1, 1, 1], dtype=np.int64)
+    for s in (2, 3, 4):
+        q = _quantize_passes(passes, s)
+        assert (q >= passes).all()
+        assert (np.diff(q) <= 0).all()
+        vals = np.unique(passes)
+        assert len(np.unique(q)) <= s
+        # brute force: every <=s-subset of distinct values containing max
+        best = None
+        for r_ in range(1, s + 1):
+            for sub in itertools.combinations(vals.tolist(), r_):
+                if max(sub) < passes.max():
+                    continue
+                arr = np.array(sorted(sub))
+                cost = arr[np.searchsorted(arr, passes)].sum()
+                best = cost if best is None else min(best, cost)
+        assert q.sum() == best, (q.sum(), best)
+    # under-budget: identity
+    np.testing.assert_array_equal(_quantize_passes(passes, 10), passes)
+
+
+def test_pass_ladder_kpad128_matches_dense(rng):
+    """k_pad=128 (P=1) on a degree-sorted graph with >48 distinct window
+    max degrees: the pass ladder caps spans at the segment budget while
+    the SpMM (fwd + grad) stays exact. This is the wide-feature
+    single-gather-pass configuration (one pass for k<=128 instead of
+    k/32 column chunks)."""
+    from gcn_tpu.tile.ell import _MAX_REDUCE_SEGMENTS
+
+    g = _ladder_graph(rng)
+    n = g.shape[0]
+    for spl in (0, None):  # serving and (scaled) training default
+        adj = ell_adjacency(g, r=8, k_pad=128, span_pass_limit=spl,
+                            symmetric=False)
+        adj.validate()
+        assert adj.spans, "ladder must keep the grouped-reduce path"
+        assert len(adj.spans) <= _MAX_REDUCE_SEGMENTS
+        for k in (32, 96):
+            x = rng.standard_normal((n, k)).astype(np.float32)
+            out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
+            ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
+            np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        ct = jnp.asarray(rng.standard_normal((n, 32)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((n, 32)).astype(np.float32))
+        _, vjp = jax.vjp(lambda xx: spmm_ell(adj, xx), x)
+        dx = np.asarray(vjp(ct)[0])
+        refd = g.to_dense().astype(np.float64).T @ np.asarray(ct, np.float64)
+        np.testing.assert_allclose(dx, refd, rtol=1e-4, atol=1e-4)
+
+
+def test_span_limit_default_scales_with_kpad(rng):
+    """The default span_pass_limit budgets a constant 64 slots/row:
+    16 passes at k_pad=32, 64 at k_pad=128 — so the hub-split cap (and
+    the training compile budget it protects) is packing-invariant."""
+    g = random_graph(rng, n=96, m=700, symmetric=True)
+    g = g.permute(degree_sort_order(g))
+    a32 = ell_adjacency(g, r=8, k_pad=32)
+    a128 = ell_adjacency(g, r=8, k_pad=128)
+    assert a32.span_pass_limit == 16
+    assert a128.span_pass_limit == 64
+    assert a32.span_pass_limit * a32.p == a128.span_pass_limit * a128.p
