@@ -60,6 +60,11 @@ def main():
                     help="k-chunk the exchange + boundary aggregation at "
                          "layer widths past this (0 = monolithic; "
                          "docs/RESULTS_r4.md)")
+    ap.add_argument("--k-pad", type=int, default=0, choices=[0, 8, 16, 32, 64, 128],
+                    help="ELL slot width for the per-shard kernels "
+                         "(0 = auto: widest SpMM operand, capped at 128 "
+                         "— one gather pass for wide hidden layers, "
+                         "results/kpad_sweep.json)")
     ap.add_argument("--dropout", type=float, default=0.5)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--weight-decay", type=float, default=5e-4)
@@ -130,7 +135,10 @@ def main():
         mesh, sg, tx, dropout=args.dropout, exchange=args.exchange,
         overlap=not args.no_overlap,
         exchange_dtype="bf16" if args.halo_bf16 else None,
-        exchange_chunk=args.exchange_chunk or None)
+        exchange_chunk=args.exchange_chunk or None,
+        k_pad=args.k_pad or next(
+            k for k in (32, 64, 128)
+            if k >= min(max(args.hidden, data.num_classes), 128)))
 
     adj, xs, ys, ms = shard_fn(sg, pad_rows(x.astype(np.float32), sg),
                                pad_rows(labels, sg), pad_rows(mask_tr, sg))

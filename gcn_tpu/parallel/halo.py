@@ -45,6 +45,7 @@ them, and ppermute transposes to ppermute under AD.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional
 
@@ -687,9 +688,10 @@ def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
 
 def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
                       k_pad: int = 32, products_bf16: bool = False,
-                      part: str = "all", **ell_kw):
+                      part: str = "all", span_pass_limit: int = None,
+                      table_bf16: bool = False):
     """Per-shard EllAdj over the halo-remapped band matrices, stacked on a
-    leading shard axis (block counts padded to the max shard).
+    leading shard axis.
 
     part: "all" — one matrix over concat(halo, band) (t_cols = ns*H+rps);
     "interior" — only on-band edges, columns renumbered into [0, rps)
@@ -697,9 +699,27 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
     "boundary" — only off-band edges over the halo region [0, ns*H).
     interior+boundary splits let XLA overlap the all_to_all with the
     interior aggregation (dist_spmm_halo_ell_overlap).
+
+    Lockstep layout (round 4): every shard is laid out with the SAME
+    per-window pass counts (elementwise max across shards, then the
+    <=48-value pass ladder when over the segment budget), so block
+    indices, ``win``, and the grouped-reduce SPANS are shard-uniform —
+    the stacked adjacency carries ``spans``/``t_spans`` and the in-
+    shard_map kernel takes the fused grouped-XLA reduce instead of the
+    products-materializing Pallas fallback (and wide features take the
+    k_pad=128 single-gather-pass path). Under band_degree_sort_order
+    per-band degrees are sorted, so the cross-shard max stays
+    nonincreasing and the lockstep padding is small (the same balance
+    argument as the halo plan's lockstep byte accounting,
+    docs/RESULTS_r4.md). hub_split stays off: per-shard virtual row
+    spaces would differ and cannot stack; band hubs keep the merged
+    Pallas hub region.
     """
-    from gcn_tpu.graph.csr import CSRGraph, coo_to_csr
-    from gcn_tpu.tile.ell import DEFAULT_R, EllAdj, ell_adjacency
+    from gcn_tpu.graph.csr import coo_to_csr
+    from gcn_tpu.tile.ell import (DEFAULT_K_PAD, DEFAULT_R, EllAdj,
+                                  _MAX_REDUCE_SEGMENTS, _ell_arrays,
+                                  _guard_spans, _quantize_passes,
+                                  _span_plan, _window_passes)
 
     ns, rps = sg.n_shards, sg.rows_per_shard
     if r is None:
@@ -708,6 +728,13 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
         # slower than the plain r=128 layout at arxiv scale), but never
         # exceed the band height
         r = DEFAULT_R if rps >= DEFAULT_R else max(8, rps // 8 * 8)
+    p = 128 // k_pad
+    if span_pass_limit is None:
+        env = os.environ.get("GCN_TPU_SPAN_LIMIT")
+        span_pass_limit = (int(env) if env is not None
+                           else max(1, k_pad // 2))
+    if span_pass_limit <= 0:
+        span_pass_limit = 1 << 30
     halo_cols = plan.halo_rows
     if part == "all":
         t_cols = halo_cols + rps
@@ -716,7 +743,7 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
     else:
         assert part == "boundary"
         t_cols = halo_cols
-    shards = []
+    locals_, transposes = [], []
     for d in range(ns):
         vals = np.asarray(sg.vals[d])
         remap = np.asarray(plan.col_remap[d])
@@ -733,42 +760,50 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
             np.asarray(sg.rows_local[d])[real],
             cols_d[real],
             vals[real], (rps, t_cols))
-        # hub_split=False: per-shard virtual row spaces would differ and
-        # cannot stack on the shard axis; band hubs keep the merged
-        # Pallas region instead
-        shards.append(ell_adjacency(g_local, r=r, k_pad=k_pad,
-                                    symmetric=False,
-                                    products_bf16=products_bf16,
-                                    hub_split=False, **ell_kw))
+        locals_.append(g_local)
+        transposes.append(g_local.transpose())
 
-    def _stack(field, pad_win_field=None):
-        arrs = [getattr(a, field) for a in shards]
-        nb_max = max(x.shape[0] for x in arrs)
-        out = []
-        for a, adj in zip(arrs, shards):
-            pad = nb_max - a.shape[0]
-            if pad:
-                if pad_win_field:  # win: revisit the last window harmlessly
-                    fill = jnp.full((pad,) + a.shape[1:], a[-1], a.dtype)
-                else:
-                    fill = jnp.zeros((pad,) + a.shape[1:], a.dtype)
-                a = jnp.concatenate([a, fill], axis=0)
-            out.append(a)
-        return jnp.stack(out)
+    def shared_passes(graphs, n):
+        ps = np.maximum.reduce(
+            [_window_passes(g.indptr, n, r, p) for g in graphs])
+        if (len(np.unique(ps)) > _MAX_REDUCE_SEGMENTS
+                and bool((np.diff(ps) <= 0).all())):
+            ps = _quantize_passes(ps, _MAX_REDUCE_SEGMENTS)
+        return ps
 
-    stacked = {
-        "cols": _stack("cols"), "vals": _stack("vals"),
-        "win": _stack("win", pad_win_field=True),
-        "t_cols": _stack("t_cols"), "t_vals": _stack("t_vals"),
-        "t_win": _stack("t_win", pad_win_field=True),
-    }
+    pf = shared_passes(locals_, rps)
+    pt = shared_passes(transposes, t_cols)
+
+    def layout(graphs, n, forced):
+        cols, vals_a, wins = [], [], []
+        off = None
+        for g in graphs:
+            c, v, w, off = _ell_arrays(g.indptr, g.indices, g.data, n, r,
+                                       p, forced_passes=forced)
+            cols.append(c)
+            vals_a.append(v)
+            wins.append(w)
+        spans = _guard_spans(_span_plan(off), span_pass_limit)
+        return (jnp.asarray(np.stack(cols)), jnp.asarray(np.stack(vals_a)),
+                jnp.asarray(wins[0]), spans)
+
+    cols_s, vals_s, win_s, spans = layout(locals_, rps, pf)
+    t_cols_s, t_vals_s, t_win_s, t_spans = layout(transposes, t_cols, pt)
+
     nw = -(-rps // r)
-    meta = dict(n_rows=rps, n_cols=t_cols, nnz=shards[0].nnz, r=r,
-                k_pad=k_pad, symmetric=False, products_bf16=products_bf16,
-                chunks=((0, stacked["win"].shape[1], 0, nw),),
-                t_chunks=((0, stacked["t_win"].shape[1], 0,
-                           -(-t_cols // r)),))
-    return EllAdj(**stacked, **meta)
+    return EllAdj(
+        cols=cols_s, vals=vals_s,
+        # win is shard-uniform by construction; broadcast to the stacked
+        # shape so shard_map in_specs see a consistent leading axis
+        win=jnp.broadcast_to(win_s, (ns,) + win_s.shape),
+        t_cols=t_cols_s, t_vals=t_vals_s,
+        t_win=jnp.broadcast_to(t_win_s, (ns,) + t_win_s.shape),
+        n_rows=rps, n_cols=t_cols, nnz=locals_[0].nnz, r=r,
+        k_pad=k_pad, symmetric=False, products_bf16=products_bf16,
+        chunks=((0, int(cols_s.shape[1]), 0, nw),),
+        t_chunks=((0, int(t_cols_s.shape[1]), 0, -(-t_cols // r)),),
+        spans=spans, t_spans=t_spans, table_bf16=table_bf16,
+        span_pass_limit=span_pass_limit)
 
 
 def unstack_ell_shard(adj_stacked):
@@ -781,7 +816,10 @@ def unstack_ell_shard(adj_stacked):
                   nnz=adj_stacked.nnz, r=adj_stacked.r,
                   k_pad=adj_stacked.k_pad, symmetric=False,
                   chunks=adj_stacked.chunks, t_chunks=adj_stacked.t_chunks,
-                  products_bf16=adj_stacked.products_bf16)
+                  products_bf16=adj_stacked.products_bf16,
+                  spans=adj_stacked.spans, t_spans=adj_stacked.t_spans,
+                  table_bf16=adj_stacked.table_bf16,
+                  span_pass_limit=adj_stacked.span_pass_limit)
 
 
 def _exchange_halo(plan_arrays, x_band, axis_name, pre=None,

@@ -38,14 +38,21 @@ Knobs:
                          collective launches before the full-band X@W,
                          putting both the big dot and the interior
                          aggregation under the exchange window
-  exchange_chunk=32      k-chunked pipelined exchange (round 4): when a
+  exchange_chunk="auto"  k-chunked pipelined exchange (round 4): when a
                          layer's output width exceeds this, the exchange
                          and the boundary aggregation split into
-                         ceil(f_out/32) independent feature slices, so
-                         received slices aggregate while later slices
-                         are still on the wire — the boundary SpMM
-                         itself becomes overlap budget. Numerically
-                         exact (column-independent); None disables
+                         ceil(f_out/chunk) independent feature slices,
+                         so received slices aggregate while later
+                         slices are still on the wire — the boundary
+                         SpMM itself becomes overlap budget. Numerically
+                         exact (column-independent); "auto" = the
+                         kernel's k_pad (one native tile per slice);
+                         None disables
+  k_pad=32               ELL slot width for the per-shard kernels; set
+                         128 for wide-hidden layers (one gather pass
+                         for k<=128 — 8.2x over column-chunking,
+                         results/kpad_sweep.json; the lockstep spans in
+                         build_sharded_ell keep the grouped reduce)
 
 New capability relative to the single-GPU reference (SURVEY.md §2d), shaped
 per BASELINE.md: edge partition + boundary exchange, aiming at >=90%
@@ -116,7 +123,8 @@ def make_sharded_gcn_train_step(
     model_axis: str = None,
     with_bias: bool = True,
     exchange_dtype: str = None,
-    exchange_chunk: int = 32,
+    exchange_chunk="auto",
+    k_pad: int = 32,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
@@ -144,6 +152,12 @@ def make_sharded_gcn_train_step(
         "exchange_dtype applies to the halo exchanges only; the " \
         "all_gather baseline always ships the compute dtype"
     wire_dtype = jnp.bfloat16 if exchange_dtype == "bf16" else None
+    if exchange_chunk == "auto":
+        # each pipelined exchange slice should be one native kernel tile
+        # (halo.dist_spmm_halo_ell_overlap_xw chunk docstring): a slice
+        # narrower than k_pad pads its boundary SpMM to k_pad lanes;
+        # None still disables chunking entirely
+        exchange_chunk = k_pad
     if kernel is None:
         # flagship default: packed-ELL + overlapped halo; the all_gather
         # baseline keeps the portable segment-sum
@@ -190,8 +204,10 @@ def make_sharded_gcn_train_step(
         if overlap:
             from gcn_tpu.parallel.halo import dist_spmm_halo_ell_overlap_xw
 
-            ell_int = build_sharded_ell(sg, plan, part="interior")
-            ell_bnd = build_sharded_ell(sg, plan, part="boundary")
+            ell_int = build_sharded_ell(sg, plan, part="interior",
+                                        k_pad=k_pad)
+            ell_bnd = build_sharded_ell(sg, plan, part="boundary",
+                                        k_pad=k_pad)
 
             def band_spmm(extra_shard, plan_shard, h):
                 e_int, e_bnd = extra_shard
@@ -213,7 +229,7 @@ def make_sharded_gcn_train_step(
 
             extra_dev = (ell_int, ell_bnd)
         else:
-            ell_stacked = build_sharded_ell(sg, plan)
+            ell_stacked = build_sharded_ell(sg, plan, k_pad=k_pad)
 
             def band_spmm(extra_shard, plan_shard, h):
                 return dist_spmm_halo_ell(unstack_ell_shard(extra_shard),

@@ -285,16 +285,31 @@ def _split_hub_rows(indptr: np.ndarray, cap: int):
     return virt_indptr, virt_map, n_hub, n_virt_hub + (n - n_hub)
 
 
-def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
-                n: int, r: int, p: int, max_pass_values: int = 0):
+def _window_passes(indptr: np.ndarray, n: int, r: int, p: int) -> np.ndarray:
+    """Per-window pass counts (>=1: every window is always written)."""
     deg = np.diff(indptr).astype(np.int64)
     num_windows = max(1, -(-n // r))
-    n_pad = num_windows * r
-    deg_pad = np.zeros(n_pad, dtype=np.int64)
+    deg_pad = np.zeros(num_windows * r, dtype=np.int64)
     deg_pad[:n] = deg
     wmax = deg_pad.reshape(num_windows, r).max(axis=1)
-    passes = np.maximum(1, -(-wmax // p))            # >=1: window always written
-    if max_pass_values:
+    return np.maximum(1, -(-wmax // p))
+
+
+def _ell_arrays(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+                n: int, r: int, p: int, max_pass_values: int = 0,
+                forced_passes: Optional[np.ndarray] = None):
+    deg = np.diff(indptr).astype(np.int64)
+    num_windows = max(1, -(-n // r))
+    passes = _window_passes(indptr, n, r, p)
+    if forced_passes is not None:
+        # lockstep layout (sharded stacking): every shard lays out the
+        # SAME per-window pass counts so block indices, win, and spans
+        # are shard-uniform and stack without padding
+        assert len(forced_passes) == num_windows
+        assert (forced_passes >= passes).all(), \
+            "forced passes must cover every shard's real degrees"
+        passes = np.asarray(forced_passes, dtype=np.int64)
+    elif max_pass_values:
         passes = _quantize_passes(passes, max_pass_values)
     pass_off = np.zeros(num_windows + 1, dtype=np.int64)
     np.cumsum(passes, out=pass_off[1:])
@@ -436,12 +451,7 @@ def _chunk_plan(pass_off: np.ndarray, p: int, r: int,
 
 
 def _needs_pass_ladder(indptr, n, r, p) -> bool:
-    deg = np.diff(indptr).astype(np.int64)
-    num_windows = max(1, -(-n // r))
-    deg_pad = np.zeros(num_windows * r, dtype=np.int64)
-    deg_pad[:n] = deg
-    wmax = deg_pad.reshape(num_windows, r).max(axis=1)
-    passes = np.maximum(1, -(-wmax // p))
+    passes = _window_passes(indptr, n, r, p)
     # quantization only pays on degree-SORTED graphs (nonincreasing
     # passes -> spans == distinct values); unsorted graphs fragment into
     # runs regardless and take the Pallas fallback, so padding them
