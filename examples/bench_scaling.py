@@ -112,7 +112,7 @@ def run_projection_fullstep(args):
         nfeat=args.nfeat, nhid=args.nhid, nclass=args.nclass,
         bw_ici=args.bw_ici, bw_dcn=args.bw_dcn,
         spmm_edges_per_s=args.spmm_rate,
-        bytes_per_elt=2 if args.halo_bf16 else 4,
+        bytes_per_elt=args.wire_bytes,
         exchange_chunk=None if args.no_chunk else 32)
     out = {"assumptions": meta, "rows": [r.to_json() for r in rows]}
     for r in out["rows"]:
@@ -140,13 +140,13 @@ def run_projection(args):
         counts, nodes_per_device=args.nodes_per_device,
         chips_per_host=args.chips_per_host, bw_ici=args.bw_ici,
         bw_dcn=args.bw_dcn, spmm_edges_per_s=rate,
-        bytes_per_elt=2 if args.halo_bf16 else 4)
+        bytes_per_elt=args.wire_bytes)
     out = {
         # every entry records the value ACTUALLY used for the rows
         "assumptions": {
             "chips_per_host": args.chips_per_host,
             "feat_width": DEFAULTS["feat_width"],
-            "bytes_per_elt": 2 if args.halo_bf16 else 4,
+            "bytes_per_elt": args.wire_bytes,
             "bw_ici_B_per_s": args.bw_ici, "bw_dcn_B_per_s": args.bw_dcn,
             "spmm_edges_per_s": rate, "spmm_rate_source": rate_src,
             "nodes_per_device": args.nodes_per_device,
@@ -204,9 +204,18 @@ def main():
     ap.add_argument("--halo-bf16", action="store_true",
                     help="exchange_dtype='bf16': 2 B/elt on the wire "
                          "(live bench AND --project projection)")
+    ap.add_argument("--halo-wire", default=None,
+                    choices=["f32", "bf16", "fp8"],
+                    help="wire dtype: f32 4 B/elt, bf16 2, fp8 1 "
+                         "(float8_e4m3fn, clipped) — live bench AND "
+                         "projections. Overrides --halo-bf16.")
     ap.add_argument("--out", default=None,
                     help="write the full projection JSON here")
     args = ap.parse_args()
+    # one resolved wire policy for the live bench and both projections
+    wire = args.halo_wire or ("bf16" if args.halo_bf16 else "f32")
+    args.wire_dtype = None if wire == "f32" else wire
+    args.wire_bytes = {"f32": 4, "bf16": 2, "fp8": 1}[wire]
 
     if args.fullstep:
         return run_projection_fullstep(args)
@@ -223,7 +232,7 @@ def main():
     for d in counts:
         t, stats = bench_devices(d, args.nodes_per_device, args.steps,
                                  args.kernel, args.exchange,
-                                 "bf16" if args.halo_bf16 else None)
+                                 args.wire_dtype)
         if t1 is None:
             t1 = t
         eff = t1 / t

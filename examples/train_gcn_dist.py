@@ -49,6 +49,12 @@ def main():
                     help="exchange_dtype='bf16': bf16 payload on the wire "
                          "(forward AND the transposed collectives in "
                          "backward), cast back on arrival")
+    ap.add_argument("--halo-wire", default=None,
+                    choices=["f32", "bf16", "fp8"],
+                    help="wire dtype for the halo exchange payload: bf16 "
+                         "halves bytes, fp8 (float8_e4m3fn, clipped) "
+                         "quarters them — for the DCN-byte-bound "
+                         "pod-scale regime. Overrides --halo-bf16.")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the fused interior/boundary overlap "
                          "(ablation)")
@@ -134,7 +140,9 @@ def main():
     step, eval_fn, shard_fn = make_sharded_gcn_train_step(
         mesh, sg, tx, dropout=args.dropout, exchange=args.exchange,
         overlap=not args.no_overlap,
-        exchange_dtype="bf16" if args.halo_bf16 else None,
+        exchange_dtype=(
+            {"f32": None, "bf16": "bf16", "fp8": "fp8"}[args.halo_wire]
+            if args.halo_wire else ("bf16" if args.halo_bf16 else None)),
         exchange_chunk=args.exchange_chunk or None,
         k_pad=args.k_pad or next(
             k for k in (32, 64, 128)

@@ -521,12 +521,23 @@ def _prep_send(x_band, send_idx, pre, wire_dtype):
     """Gather send rows, apply the optional pre transform, cast for the
     wire. Returns (rows, out_dtype): out_dtype is what the halo table
     must be cast back to after the collectives. One definition so every
-    exchange flavor shares one cast policy."""
+    exchange flavor shares one cast policy.
+
+    Narrow-range wire dtypes (fp8: float8_e4m3fn tops out at 448 and
+    SATURATES TO NaN on overflow — no inf encoding) get a clip to the
+    wire's finite range first; bf16 shares f32's exponent range so the
+    clip is a no-op there and skipped. The clip is exact for in-range
+    values and turns a would-be NaN into the wire's max — the same
+    saturate-on-overflow policy hardware fp8 paths use.
+    """
     rows = jnp.take(x_band, send_idx, axis=0)
     if pre is not None:
         rows = pre(rows)
     out_dtype = rows.dtype
     if wire_dtype is not None:
+        wmax = float(jnp.finfo(wire_dtype).max)
+        if wmax < float(jnp.finfo(out_dtype).max):
+            rows = jnp.clip(rows, -wmax, wmax)
         rows = rows.astype(wire_dtype)
     return rows, out_dtype
 

@@ -28,6 +28,15 @@ Knobs:
                          bf16 rounding on boundary rows; the projection
                          shows multi-host efficiency is DCN-byte-bound,
                          docs/RESULTS_r3.md)
+  exchange_dtype="fp8"   quarter the wire bytes: float8_e4m3fn payload
+                         (clipped to the fp8 finite range before the
+                         cast — e4m3fn overflows to NaN, see
+                         halo._prep_send). ~6% max per-element relative
+                         rounding on boundary rows, forward AND
+                         gradient exchanges both compressed; opt-in for
+                         the DCN-byte-bound pod-scale regime
+                         (docs/RESULTS_r4.md measures the accuracy
+                         impact)
   overlap=True           interior/boundary split so local work overlaps
                          the exchange — the default. Whenever no
                          tensor-parallel model axis is in play (the 1-D
@@ -147,11 +156,12 @@ def make_sharded_gcn_train_step(
     docstring). Composes with every exchange/kernel knob.
     """
     assert exchange in ("halo", "halo_padded", "halo_hier", "all_gather")
-    assert exchange_dtype in (None, "bf16"), exchange_dtype
+    assert exchange_dtype in (None, "bf16", "fp8"), exchange_dtype
     assert exchange_dtype is None or exchange != "all_gather", \
         "exchange_dtype applies to the halo exchanges only; the " \
         "all_gather baseline always ships the compute dtype"
-    wire_dtype = jnp.bfloat16 if exchange_dtype == "bf16" else None
+    wire_dtype = {None: None, "bf16": jnp.bfloat16,
+                  "fp8": jnp.float8_e4m3fn}[exchange_dtype]
     if exchange_chunk == "auto":
         # each pipelined exchange slice should be one native kernel tile
         # (halo.dist_spmm_halo_ell_overlap_xw chunk docstring): a slice

@@ -332,6 +332,62 @@ class TestHaloExchange:
                                        rtol=0.05, atol=0.02)
             assert results["bf16"][-1] < results["bf16"][0]
 
+    def test_fp8_wire_tracks_f32_and_saturates_safely(self, rng):
+        """exchange_dtype='fp8' quarters wire bytes (float8_e4m3fn, ~6%
+        max per-element rounding on boundary rows, both directions).
+        Training must stay close to the f32-wire run, converge, and end
+        at matching accuracy; and because e4m3fn converts overflow to
+        NaN, the pre-cast clip must keep a huge-magnitude payload finite
+        (halo._prep_send)."""
+        import jax
+
+        from gcn_tpu.models.gcn_core import init_gcn_params
+        from gcn_tpu.parallel import create_mesh, make_sharded_gcn_train_step
+        from gcn_tpu.parallel.partition import pad_rows
+        from gcn_tpu.train.optim import adam_l2
+
+        g, x, labels, sg = self._setup(rng)
+        mesh = create_mesh(4)
+        tx = adam_l2(0.01, 5e-4)
+        mask = np.ones(g.shape[0], np.float32)
+        acc = {}
+        for dt in (None, "fp8"):
+            params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+            step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+                mesh, sg, tx, dropout=0.0, exchange="halo",
+                exchange_dtype=dt)
+            adj, xs, ys, ms = shard_fn(sg, pad_rows(x, sg),
+                                       pad_rows(labels, sg),
+                                       pad_rows(mask, sg))
+            opt_state = tx.init(params)
+            losses = []
+            for _ in range(40):
+                params, opt_state, loss = step(
+                    params, opt_state, jax.random.PRNGKey(7), adj, xs,
+                    ys, ms)
+                losses.append(float(loss))
+            assert all(np.isfinite(losses)), dt
+            assert losses[-1] < losses[0], dt
+            lp = np.asarray(eval_fn(params, adj, xs))[:g.shape[0]]
+            acc[dt] = float((lp.argmax(1) == labels).mean())
+        # fp8 rounds boundary rows ~6%/element; at convergence both wires
+        # must solve this (easily separable) workload and agree closely
+        assert acc[None] >= 0.9, acc
+        assert abs(acc["fp8"] - acc[None]) <= 0.04, acc
+
+        # saturation safety: payload far beyond the e4m3fn max (448)
+        # must clip, not NaN — scale the features by 1e4
+        params = init_gcn_params(jax.random.PRNGKey(0), 16, 8, 4)
+        step, eval_fn, shard_fn = make_sharded_gcn_train_step(
+            mesh, sg, tx, dropout=0.0, exchange="halo",
+            exchange_dtype="fp8")
+        adj, xs, ys, ms = shard_fn(sg, pad_rows(x * 1e4, sg),
+                                   pad_rows(labels, sg),
+                                   pad_rows(mask, sg))
+        _, _, loss = step(params, tx.init(params), jax.random.PRNGKey(7),
+                          adj, xs, ys, ms)
+        assert np.isfinite(float(loss))
+
     def test_exchange_fraction_small_for_banded_graph(self, rng):
         from gcn_tpu.graph.csr import coo_to_csr
         from gcn_tpu.graph.normalize import gcn_normalize
@@ -473,14 +529,14 @@ class TestHaloExchange:
         np.testing.assert_allclose(results[True][1], results[False][1],
                                    rtol=1e-3, atol=1e-4)
 
-    @pytest.mark.parametrize("wire", [None, "bf16"])
+    @pytest.mark.parametrize("wire", [None, "bf16", "fp8"])
     def test_chunked_exchange_matches_monolithic(self, rng, wire):
         """k-chunked pipelined exchange == monolithic, fwd AND training.
 
         Each boundary-output column depends only on its halo column, so
         chunking the exchange along k is exact — including under the
-        bf16 wire, where (rows @ w)[:, c] and rows @ w[:, c] round to
-        identical bf16 payloads. This is the overlap window the
+        bf16 and fp8 wires, where (rows @ w)[:, c] and rows @ w[:, c]
+        clip+round to identical wire payloads. This is the overlap window the
         full-step weak-scaling projection credits; the step must
         implement what the model credits."""
         import jax
@@ -695,6 +751,22 @@ def test_hier_halo_matches_unsharded(rng):
                        device_adjacency(g, "dense"),
                        orders=("a_xw", "a_xw"), train=False)
     np.testing.assert_allclose(lp_b, np.asarray(ref3), rtol=0.05, atol=0.03)
+
+    # fp8 wire through both hier levels: coarser rounding (~6%/element on
+    # boundary rows) but still finite, close in loss, and tracking the
+    # unsharded forward at an fp8-scale tolerance
+    step_q, eval_q, _ = make_sharded_gcn_train_step(
+        mesh, sg, tx, dropout=0.0, exchange="halo_hier",
+        exchange_dtype="fp8")
+    p4, _, loss_q = step_q(params, tx.init(params), jax.random.PRNGKey(1),
+                           adj, xs, ys, ms)
+    assert np.isfinite(float(loss_q))
+    assert abs(float(loss_q) - float(loss)) < 0.1
+    lp_q = np.asarray(eval_q(p4, adj, xs))[:n]
+    ref4 = gcn_forward(jax.device_get(p4), jnp.asarray(x),
+                       device_adjacency(g, "dense"),
+                       orders=("a_xw", "a_xw"), train=False)
+    np.testing.assert_allclose(lp_q, np.asarray(ref4), rtol=0.35, atol=0.25)
 
     # dropout path (flattened host*chip axis index in the rng fold)
     step_d, _, _ = make_sharded_gcn_train_step(
