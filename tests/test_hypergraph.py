@@ -51,6 +51,39 @@ def test_knn_weights_match_reference_formula(feats):
         np.testing.assert_allclose(h[:, c], expect, rtol=1e-4, atol=1e-6)
 
 
+def test_vectorized_H_matches_reference_loop(feats):
+    """The vectorized argpartition builder is pinned to the reference's
+    per-center loop (hypergraph_utils.py:157-181, kept verbatim as
+    _construct_H_with_KNN_loop) — same selected sets, same weights."""
+    from gcn_tpu.graph.hypergraph import _construct_H_with_KNN_loop
+
+    x, _ = feats
+    for k, m_prob, is_prob in ((5, 1.0, True), (10, 2.0, True),
+                               (7, 1.0, False)):
+        fast = construct_H_with_KNN(x, k, is_prob=is_prob, m_prob=m_prob)
+        slow = _construct_H_with_KNN_loop(x, k, is_prob=is_prob,
+                                          m_prob=m_prob)
+        np.testing.assert_array_equal(fast, slow)
+
+
+def test_vectorized_H_duplicate_points():
+    """>k exact-duplicate points can push a center out of its own k
+    nearest; both builders must still include the center (the loop's
+    neigh[-1] overwrite; the vectorized farthest-evict)."""
+    from gcn_tpu.graph.hypergraph import _construct_H_with_KNN_loop
+
+    x = np.zeros((12, 4), dtype=np.float32)  # all identical
+    x[8:] = 1.0                              # plus a distinct cluster
+    k = 5
+    fast = construct_H_with_KNN(x, k)
+    slow = _construct_H_with_KNN_loop(x, k)
+    # every center is in its own hyperedge, with weight exp(0)=1 only
+    # when is_prob weights are degenerate; pin membership + column degree
+    for h in (fast, slow):
+        assert np.all(np.diag(h) > 0)
+        assert np.all((h > 0).sum(axis=0) == k)
+
+
 def test_multi_scale_split(feats):
     """split_diff_scale=True returns one H per K and generate_G_from_H maps
     over the list (hypergraph_utils.py:80-93, 157-181)."""
