@@ -122,15 +122,21 @@ class EllAdj:
     table_bf16: bool = False
     # spans with pass count above this use the merged Pallas hub region;
     # at or below, the fused grouped-XLA reduce. The compile/perf knob:
-    # 16 (default) keeps training-step (vjp+scan) cold compile ~40 s at
-    # ~7.1 ms arxiv-k32 SpMM; UNLIMITED (the serving configuration,
-    # ell_adjacency(span_pass_limit=0)) reaches 6.46 ms / 94% of the
-    # gather roofline but costs >400 s to compile a training step —
-    # forward-only (inference) programs still compile in ~30 s, which is
-    # why serving should use it. Override the default via
-    # GCN_TPU_SPAN_LIMIT. With ``hub_split`` (the round-3 default) no
-    # window exceeds the limit in the first place, so this knob only
-    # sets the split threshold and the serving/training gap closes.
+    # UNLIMITED (the serving configuration,
+    # ell_adjacency(span_pass_limit=0)) is the fastest path — 6.6 ms /
+    # ~86-88% of the in-situ gather roofline on arxiv-k32 (the driver
+    # bench headline; bench.py measures the roofline in the same
+    # session, so the pct is immune to relay day-variance) — but costs
+    # >400 s to compile a training step; forward-only (inference)
+    # programs still compile in ~30 s, which is why serving should use
+    # it. The 16 default + ``hub_split`` (the round-3 default, below)
+    # keeps training-step (vjp+scan) cold compile ~85-105 s within ~2%
+    # of the serving rate. Override the default via GCN_TPU_SPAN_LIMIT.
+    # With hub_split no window exceeds the limit in the first place, so
+    # this knob only sets the split threshold and the serving/training
+    # gap closes. (A round-2 session once recorded 6.46 ms under an
+    # earlier roofline protocol; the current protocol and numbers are
+    # the bench.py capture — kept here so the figures can't drift.)
     span_pass_limit: int = 16
     # hub-row splitting (round 3): rows with more than
     # span_pass_limit * P slots are refined IN PLACE into near-equal
