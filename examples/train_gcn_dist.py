@@ -50,11 +50,15 @@ def main():
                          "(forward AND the transposed collectives in "
                          "backward), cast back on arrival")
     ap.add_argument("--halo-wire", default=None,
-                    choices=["f32", "bf16", "fp8"],
+                    choices=["f32", "bf16", "fp8", "auto"],
                     help="wire dtype for the halo exchange payload: bf16 "
                          "halves bytes, fp8 (float8_e4m3fn, clipped) "
                          "quarters them — for the DCN-byte-bound "
-                         "pod-scale regime. Overrides --halo-bf16.")
+                         "pod-scale regime. 'auto' applies "
+                         "projection.recommend_wire_dtype on this run's "
+                         "exact plan volumes (bf16 unless the hier plan "
+                         "is DCN-byte-bound and fp8 closes the gap). "
+                         "Overrides --halo-bf16.")
     ap.add_argument("--no-overlap", action="store_true",
                     help="disable the fused interior/boundary overlap "
                          "(ablation)")
@@ -141,8 +145,10 @@ def main():
         mesh, sg, tx, dropout=args.dropout, exchange=args.exchange,
         overlap=not args.no_overlap,
         exchange_dtype=(
-            {"f32": None, "bf16": "bf16", "fp8": "fp8"}[args.halo_wire]
+            {"f32": None, "bf16": "bf16", "fp8": "fp8",
+             "auto": "auto"}[args.halo_wire]
             if args.halo_wire else ("bf16" if args.halo_bf16 else None)),
+        widths=(data.num_features, args.hidden, data.num_classes),
         exchange_chunk=args.exchange_chunk or None,
         k_pad=args.k_pad or next(
             k for k in (32, 64, 128)

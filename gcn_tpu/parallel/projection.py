@@ -511,6 +511,87 @@ def lockstep_vs_matched_dcn(needed, d, n_hosts, n_chips):
                 rank_bound=rank_bound, mean=mean)
 
 
+def _fullstep_phases(edges_dev, interior, rps, dcn_rows, ici_rows, *,
+                     nfeat, nhid, nclass, rate, mxu_flops, bytes_per_elt,
+                     bw_ici, bw_dcn, exchange_chunk):
+    """(phases, t_comp) for a 2-layer train step — the shared time model
+    behind project_weak_scaling_fullstep and recommend_wire_dtype."""
+    k32 = edges_dev / rate  # full-band SpMM at k=32
+    phases = []
+    t_comp = 0.0
+    for fin, fout in ((nfeat, nhid), (nhid, nclass)) * 2:
+        k_eff = max(_ceil_to(fout, 32), 32)
+        t_sp = k32 * (k_eff / 32.0)
+        t_mm = 2.0 * rps * fin * fout / mxu_flops
+        t_int = interior * t_sp
+        t_bnd = t_sp - t_int
+        t_comm = (dcn_rows * fout * bytes_per_elt / bw_dcn
+                  + ici_rows * fout * bytes_per_elt / bw_ici)
+        C = max(-(-fout // exchange_chunk), 1) if exchange_chunk else 1
+        phases.append(dict(t_comm=t_comm, t_int=t_int, t_mm=t_mm,
+                           t_bnd=t_bnd, C=C))
+        t_comp += t_sp + t_mm
+    return phases, t_comp
+
+
+def recommend_wire_dtype(sg, plan, *, widths=None,
+                         spmm_edges_per_s=None,
+                         mxu_flops=FULLSTEP_DEFAULTS["mxu_flops"],
+                         bw_ici=DEFAULTS["bw_ici"],
+                         bw_dcn=DEFAULTS["bw_dcn"],
+                         exchange_chunk=32, target=0.9):
+    """Auto halo-wire policy: ('bf16'|'fp8', details).
+
+    fp8 (float8_e4m3fn payload, ~6% max per-element rounding on boundary
+    rows) pays ONLY in the DCN-byte-bound regime — below it the bf16
+    wire already hides behind compute and fp8 just spends accuracy
+    headroom. Policy, evaluated on the EXACT volumes of the plan this
+    training run actually built (same time model as the full-step
+    projection):
+
+      * single-level plan (no DCN tier) -> bf16;
+      * hier plan: project the full-step efficiency at bf16 and fp8
+        wires; pick fp8 iff bf16 misses ``target`` and fp8 improves it.
+
+    Accuracy basis: results/fp8_wire_eval.json (fp8 within seed noise of
+    f32 on synth-pubmed and synth-arxiv classes, flat and hier meshes).
+    """
+    if not hasattr(plan, "inter_sizes"):
+        return "bf16", dict(reason="single-level exchange: no DCN tier, "
+                                   "never DCN-byte-bound")
+    nfeat, nhid, nclass = widths or (FULLSTEP_DEFAULTS["nfeat"],
+                                     FULLSTEP_DEFAULTS["nhid"],
+                                     FULLSTEP_DEFAULTS["nclass"])
+    if spmm_edges_per_s is None:
+        rate, rate_src = measured_spmm_rate()
+    else:
+        rate, rate_src = float(spmm_edges_per_s), "caller"
+    vals = np.asarray(sg.vals)
+    cols = np.asarray(sg.cols)
+    real = vals != 0
+    edges_dev = int(real.sum(axis=1).max())
+    own = (cols // sg.rows_per_shard) == np.arange(sg.n_shards)[:, None]
+    interior = float((real & own).sum() / max(int(real.sum()), 1))
+    dcn_rows = int(sum(plan.inter_sizes))
+    ici_rows = int(sum(plan.intra_sizes)) + int(plan.ici_gather_rows)
+    effs = {}
+    for name, bpe in (("bf16", 2), ("fp8", 1)):
+        phases, t_comp = _fullstep_phases(
+            edges_dev, interior, sg.rows_per_shard, dcn_rows, ici_rows,
+            nfeat=nfeat, nhid=nhid, nclass=nclass, rate=rate,
+            mxu_flops=mxu_flops, bytes_per_elt=bpe, bw_ici=bw_ici,
+            bw_dcn=bw_dcn, exchange_chunk=exchange_chunk)
+        ex = _fullstep_exposed(phases, 1.0, chunked=bool(exchange_chunk))
+        effs[name] = t_comp / (t_comp + ex)
+    wire = ("fp8" if effs["bf16"] < target
+            and effs["fp8"] > effs["bf16"] + 0.01 else "bf16")
+    return wire, dict(eff_bf16=round(effs["bf16"], 4),
+                      eff_fp8=round(effs["fp8"], 4),
+                      dcn_rows=dcn_rows, ici_rows=ici_rows,
+                      interior_frac=round(interior, 4),
+                      spmm_rate_source=rate_src, target=target)
+
+
 def _fullstep_exposed(phases, scale, chunked):
     """Sum of exposed comm over the step's exchanges at a bw scale."""
     exposed = 0.0
@@ -653,21 +734,11 @@ def project_weak_scaling_fullstep(
                                     ici_rows=int(best[1]))
 
         # --- time model: 2-layer step = 4 exchange phases -----------------
-        k32 = edges_dev / rate  # full-band SpMM at k=32
-        phases = []
-        t_comp = 0.0
-        for fin, fout in ((nfeat, nhid), (nhid, nclass)) * 2:
-            k_eff = max(_ceil_to(fout, 32), 32)
-            t_sp = k32 * (k_eff / 32.0)
-            t_mm = 2.0 * rps * fin * fout / mxu_flops
-            t_int = interior * t_sp
-            t_bnd = t_sp - t_int
-            t_comm = (dcn_rows * fout * bytes_per_elt / bw_dcn
-                      + ici_rows * fout * bytes_per_elt / bw_ici)
-            C = max(-(-fout // exchange_chunk), 1) if exchange_chunk else 1
-            phases.append(dict(t_comm=t_comm, t_int=t_int, t_mm=t_mm,
-                               t_bnd=t_bnd, C=C))
-            t_comp += t_sp + t_mm
+        phases, t_comp = _fullstep_phases(
+            edges_dev, interior, rps, dcn_rows, ici_rows,
+            nfeat=nfeat, nhid=nhid, nclass=nclass, rate=rate,
+            mxu_flops=mxu_flops, bytes_per_elt=bytes_per_elt,
+            bw_ici=bw_ici, bw_dcn=bw_dcn, exchange_chunk=exchange_chunk)
 
         eff = {s: t_comp / (t_comp + _fullstep_exposed(phases, s, True))
                for s in BW_SCALES}

@@ -134,12 +134,19 @@ def make_sharded_gcn_train_step(
     exchange_dtype: str = None,
     exchange_chunk="auto",
     k_pad: int = 32,
+    widths: tuple = None,
 ) -> Tuple[Callable, Callable, Callable]:
     """Returns (train_step, eval_fn, shard_fn).
 
     train_step(params, opt_state, rng, adj, x, labels, mask) -> (params,
     opt_state, loss); eval_fn(params, adj, x) -> log_probs (row-sharded);
     shard_fn places host arrays with the right shardings.
+
+    ``exchange_dtype="auto"`` resolves to bf16 or fp8 via
+    ``projection.recommend_wire_dtype`` on this run's exact plan volumes
+    (fp8 only in the DCN-byte-bound hier regime); pass ``widths=(nfeat,
+    nhid, nclass)`` so the policy prices the real layer widths (defaults
+    to the projection's realistic-width assumptions otherwise).
 
     ``model_axis``: name of an extra mesh axis for tensor parallelism
     over the feature/hidden dimension (create_mesh_2d, or
@@ -156,12 +163,10 @@ def make_sharded_gcn_train_step(
     docstring). Composes with every exchange/kernel knob.
     """
     assert exchange in ("halo", "halo_padded", "halo_hier", "all_gather")
-    assert exchange_dtype in (None, "bf16", "fp8"), exchange_dtype
+    assert exchange_dtype in (None, "auto", "bf16", "fp8"), exchange_dtype
     assert exchange_dtype is None or exchange != "all_gather", \
         "exchange_dtype applies to the halo exchanges only; the " \
         "all_gather baseline always ships the compute dtype"
-    wire_dtype = {None: None, "bf16": jnp.bfloat16,
-                  "fp8": jnp.float8_e4m3fn}[exchange_dtype]
     if exchange_chunk == "auto":
         # each pipelined exchange slice should be one native kernel tile
         # (halo.dist_spmm_halo_ell_overlap_xw chunk docstring): a slice
@@ -187,21 +192,40 @@ def make_sharded_gcn_train_step(
             axis = ("host", "chip")
         nh, nc = mesh.shape[axis[0]], mesh.shape[axis[1]]
         plan = build_halo_plan_hier(sg, nh, nc)
-        ex_fn = make_halo_exchange(plan, wire_dtype)
         plan_dev = plan.device_arrays
     elif halo_like:
         from gcn_tpu.parallel.halo import (build_halo_plan,
-                                           build_halo_plan_ragged,
-                                           make_halo_exchange)
+                                           build_halo_plan_ragged)
 
         plan = (build_halo_plan_ragged(sg) if exchange == "halo"
                 else build_halo_plan(sg))
-        ex_fn = make_halo_exchange(plan, wire_dtype)
         plan_dev = plan.device_arrays
     else:
-        plan = ex_fn = None
+        plan = None
         plan_dev = (jnp.zeros((sg.n_shards, 1, 1), jnp.int32),
                     jnp.zeros((sg.n_shards, 1), jnp.int32))
+    if halo_like:
+        from gcn_tpu.parallel.halo import make_halo_exchange
+
+        if exchange_dtype == "auto":
+            # DCN-byte-bound policy on THIS run's exact plan volumes
+            # (projection.recommend_wire_dtype: bf16 unless the hier
+            # plan's bf16 full-step projection misses 90% and fp8
+            # closes some of the gap)
+            from gcn_tpu.parallel.projection import recommend_wire_dtype
+
+            exchange_dtype, why = recommend_wire_dtype(sg, plan,
+                                                       widths=widths)
+            import logging
+
+            logging.getLogger(__name__).info(
+                "auto halo wire -> %s (%s)", exchange_dtype, why)
+        wire_dtype = {None: None, "bf16": jnp.bfloat16,
+                      "fp8": jnp.float8_e4m3fn}[exchange_dtype]
+        ex_fn = make_halo_exchange(plan, wire_dtype)
+    else:
+        assert exchange_dtype != "auto"
+        ex_fn = None
 
     band_spmm_xw = None   # set on the fused (ell + overlap) path only
     if kernel == "ell":
