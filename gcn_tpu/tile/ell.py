@@ -456,23 +456,55 @@ def _chunk_plan(pass_off: np.ndarray, p: int, r: int,
     return tuple(chunks)
 
 
-def _needs_pass_ladder(indptr, n, r, p) -> bool:
+def _pass_runs(passes: np.ndarray) -> int:
+    """Number of contiguous equal-value runs (= reduce segments when no
+    value exceeds the span limit)."""
+    if len(passes) == 0:
+        return 0
+    return int(1 + np.count_nonzero(np.diff(passes)))
+
+
+def _ladder_passes(indptr, n, r, p):
+    """The <=48-value pass ladder when it would keep the grouped reduce,
+    else None.
+
+    Degree-SORTED graphs have nonincreasing passes, so the ladder's
+    <=48 distinct values are exactly <=48 contiguous runs. Hub-SPLIT
+    graphs oscillate locally (balanced chunk degrees land anywhere in
+    [cap/2, cap], so the virtual-row prefix is only approximately
+    sorted — at P=1 this pushed distinct window maxima past the budget
+    with no monotone rescue, silently dropping the k_pad>=64 TRAINING
+    default to the Pallas fallback, round-5 finding). Quantization
+    itself never needs monotonicity — it maps values up via a
+    value-partition DP — and it MERGES adjacent near-equal windows, so
+    the right test is simply whether the quantized run count fits the
+    segment budget. Unsorted graphs still fail that test and keep the
+    fallback (padding them would be a pure loss).
+    """
     passes = _window_passes(indptr, n, r, p)
-    # quantization only pays on degree-SORTED graphs (nonincreasing
-    # passes -> spans == distinct values); unsorted graphs fragment into
-    # runs regardless and take the Pallas fallback, so padding them
-    # further would be a pure loss
-    return (len(np.unique(passes)) > _MAX_REDUCE_SEGMENTS
-            and bool((np.diff(passes) <= 0).all()))
+    if (len(np.unique(passes)) <= _MAX_REDUCE_SEGMENTS
+            and _pass_runs(passes) <= _MAX_REDUCE_SEGMENTS):
+        return None                    # native layout's spans survive
+    # nonincreasing envelope (reverse cummax): identity on a degree-
+    # sorted tail, pads local dips up to later peaks in the hub-split
+    # prefix (~2% extra slots on arxiv at P=1); a genuinely unsorted
+    # graph would inflate toward global-max-everywhere — gated at +15%
+    mono = np.maximum.accumulate(passes[::-1])[::-1]
+    if mono.sum() > 1.15 * passes.sum():
+        return None
+    if len(np.unique(mono)) > _MAX_REDUCE_SEGMENTS:
+        mono = _quantize_passes(mono, _MAX_REDUCE_SEGMENTS)
+    return mono
 
 
 def _tile(indptr, indices, data, n, r, p, prefer_native):
     # small P (e.g. k_pad=128 -> P=1) can push distinct pass values past
     # the reduce-segment budget; the numpy layout applies the optimal
     # pass ladder then (the native tiler lays out unquantized passes)
-    if _needs_pass_ladder(indptr, n, r, p):
+    ladder = _ladder_passes(indptr, n, r, p)
+    if ladder is not None:
         return _ell_arrays(indptr, indices, data, n, r, p,
-                           max_pass_values=_MAX_REDUCE_SEGMENTS)
+                           forced_passes=ladder)
     if prefer_native:
         from gcn_tpu.tile import native
 

@@ -669,3 +669,35 @@ def test_span_limit_default_scales_with_kpad(rng):
     assert a32.span_pass_limit == 16
     assert a128.span_pass_limit == 64
     assert a32.span_pass_limit * a32.p == a128.span_pass_limit * a128.p
+
+
+def test_hub_split_wide_kpad_keeps_grouped_reduce(rng):
+    """Round-5 regression: the TRAINING default (hub split on) at
+    k_pad>=64 must keep the fused grouped reduce. Balanced hub chunks
+    oscillate in [cap/2, cap], breaking the monotone pass order; the
+    nonincreasing-envelope repair + ladder (_ladder_passes) restores
+    contiguous spans within the segment budget — before the fix these
+    configs silently fell to the Pallas fallback (measured 36 ms vs
+    ~16 ms per h128 train step on arxiv). Numerics pinned vs dense."""
+    from gcn_tpu.tile.ell import _MAX_REDUCE_SEGMENTS
+
+    # hub-heavy power-law-ish graph: many rows above the split cap
+    n = 600
+    deg = np.minimum((rng.pareto(1.0, n) * 12 + 1).astype(np.int64),
+                     n - 1)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, rows.size)
+    from gcn_tpu.graph.csr import coo_to_csr
+    g = coo_to_csr(rows, cols, np.ones(rows.size, np.float32), (n, n))
+    g = g.permute(degree_sort_order(g))
+    for kp in (64, 128):
+        adj = ell_adjacency(g, r=8, k_pad=kp, symmetric=False)
+        adj.validate()
+        assert adj.n_hub > 0, "graph must actually split hubs"
+        assert adj.spans, \
+            f"k_pad={kp} training default lost the grouped reduce"
+        assert len(adj.spans) <= _MAX_REDUCE_SEGMENTS
+        x = rng.standard_normal((n, kp)).astype(np.float32)
+        out = np.asarray(spmm_ell(adj, jnp.asarray(x)))
+        ref = g.to_dense().astype(np.float64) @ x.astype(np.float64)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

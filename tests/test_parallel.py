@@ -1041,3 +1041,66 @@ class TestLockstepShardedEll:
             got = np.concatenate(outs, axis=0)[:g.shape[0]]
             ref = dense @ x.astype(np.float64)
             np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_recommend_wire_dtype_policy(rng):
+    """Auto wire policy: flat plans -> bf16; hier plans pick fp8 only in
+    the DCN-byte-bound regime (forced here by a tiny assumed DCN)."""
+    from gcn_tpu.data.synthetic import sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.parallel.halo import (build_halo_plan_hier,
+                                       build_halo_plan_ragged)
+    from gcn_tpu.parallel.partition import (band_degree_sort_order,
+                                            shard_graph_by_rows)
+    from gcn_tpu.parallel.projection import recommend_wire_dtype
+
+    adj, _ = sbm(n=1024, n_classes=8, avg_degree=10, seed=0)
+    g = gcn_normalize(adj)
+    sg0 = shard_graph_by_rows(g, 8)
+    g = g.permute(band_degree_sort_order(g, sg0.rows_per_shard))
+    sg = shard_graph_by_rows(g, 8)
+
+    flat = build_halo_plan_ragged(sg)
+    wire, why = recommend_wire_dtype(sg, flat)
+    assert wire == "bf16" and "single-level" in why["reason"]
+
+    hier = build_halo_plan_hier(sg, 4, 2)
+    # generous DCN: bf16 already hides -> bf16 (the tiny test graph has
+    # almost no per-device compute, so genuinely generous bandwidth is
+    # needed to model the compute-rich production regime)
+    wire, why = recommend_wire_dtype(sg, hier, widths=(128, 128, 40),
+                                     spmm_edges_per_s=346e6,
+                                     bw_dcn=1e12)
+    assert wire == "bf16" and why["eff_bf16"] >= 0.9
+    # starved DCN: bf16 misses 90%, fp8 helps -> fp8
+    wire2, why2 = recommend_wire_dtype(sg, hier, widths=(128, 128, 40),
+                                       spmm_edges_per_s=346e6,
+                                       bw_dcn=1e7)
+    assert why2["eff_bf16"] < 0.9
+    assert wire2 == "fp8" and why2["eff_fp8"] > why2["eff_bf16"]
+
+
+def test_lockstep_vs_matched_dcn_bounds(rng):
+    """matched is a FEASIBLE schedule (>= the rank bound, the proven
+    lower envelope of any round schedule) and the rank bound dominates
+    the padding-free mean; lockstep is what the shipped offset schedule
+    ships."""
+    from gcn_tpu.data.synthetic import powerlaw_sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.parallel.halo import _pair_boundaries
+    from gcn_tpu.parallel.partition import (band_degree_sort_order,
+                                            shard_graph_by_rows)
+    from gcn_tpu.parallel.projection import lockstep_vs_matched_dcn
+
+    d, nh, nc = 16, 4, 4
+    adj, _ = powerlaw_sbm(n=2048, n_classes=8, avg_degree=12, seed=1)
+    g = gcn_normalize(adj)
+    sg0 = shard_graph_by_rows(g, d)
+    g = g.permute(band_degree_sort_order(g, sg0.rows_per_shard))
+    sg = shard_graph_by_rows(g, d)
+    needed, _ = _pair_boundaries(sg)
+    r = lockstep_vs_matched_dcn(needed, d, nh, nc)
+    assert r["mean"] <= r["rank_bound"] + 8 * (nh - 1)
+    assert r["rank_bound"] <= r["matched"]
+    assert r["matched"] <= r["lockstep"] * 1.001 + 8 * (nh - 1)
+    assert r["lockstep"] > 0
