@@ -45,6 +45,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-g", "--graph", default="synth-arxiv")
     ap.add_argument("-k", type=int, default=32)
+    ap.add_argument("--k-pad", type=int, default=32,
+                    choices=[8, 16, 32, 64, 128],
+                    help="ELL slot width for the sharded builds (128 = "
+                         "the wide-feature single-gather-pass tier)")
     ap.add_argument("--inner", type=int, default=30)
     ap.add_argument("--proportion", type=int, default=8,
                     help="shard count for the production-proportion "
@@ -85,7 +89,8 @@ def main():
     overhead = bench._sync_overhead(x0)
 
     # --- plain-jit reference: bench.py's serving configuration ----------
-    adj_ell = ell_adjacency(g, symmetric=True, span_pass_limit=0)
+    adj_ell = ell_adjacency(g, symmetric=True, span_pass_limit=0,
+                            k_pad=args.k_pad)
     t_plain = bench.bench_spmm(lambda a, xx: spmm_ell(a, xx), adj_ell, x0,
                                overhead, inner=args.inner)
     print(f"plain jit ELL: {t_plain*1e3:.3f} ms "
@@ -100,7 +105,8 @@ def main():
     # training default (span 16 WITHOUT hub split — virtual row spaces
     # cannot stack on a shard axis) sends band hubs to the merged
     # Pallas region, which is a config difference, not a sharding cost
-    ell_sh = build_sharded_ell(sg, plan, span_pass_limit=0)
+    ell_sh = build_sharded_ell(sg, plan, span_pass_limit=0,
+                               k_pad=args.k_pad)
     ex_fn = make_halo_exchange(plan)
     plan_dev = plan.device_arrays
     spec_e = jax.tree_util.tree_map(
@@ -171,7 +177,7 @@ def main():
         np.asarray(plan.col_remap[0])[real0] - 8,
         vals0[real0], (sg.rows_per_shard, sg.rows_per_shard))
     ell_band = ell_adjacency(g_band, symmetric=False, span_pass_limit=0,
-                             hub_split=False)
+                             hub_split=False, k_pad=args.k_pad)
     t_layout = bench.bench_spmm(lambda a, xx: spmm_ell(a, xx), ell_band,
                                 x0p, overhead, inner=args.inner)
     print(f"per-shard layout, plain jit (no concat/shard_map): "
@@ -182,9 +188,9 @@ def main():
     # the interior aggregation gathers STRAIGHT from the band, no
     # concat(halo, band) table materialization per application
     ell_int = put(build_sharded_ell(sg, plan, part="interior",
-                                    span_pass_limit=0))
+                                    span_pass_limit=0, k_pad=args.k_pad))
     ell_bnd = put(build_sharded_ell(sg, plan, part="boundary",
-                                    span_pass_limit=0))
+                                    span_pass_limit=0, k_pad=args.k_pad))
 
     def body_overlap(dev, acc):
         return dist_spmm_halo_ell_overlap(
@@ -231,9 +237,9 @@ def main():
             e_int[d] = int((real_d & (remap_d >= halo_cols)).sum())
             e_bnd[d] = int((real_d & (remap_d < halo_cols)).sum())
         adj_int = build_sharded_ell(sg_p, plan_p, part="interior",
-                                    span_pass_limit=0)
+                                    span_pass_limit=0, k_pad=args.k_pad)
         adj_bnd = build_sharded_ell(sg_p, plan_p, part="boundary",
-                                    span_pass_limit=0)
+                                    span_pass_limit=0, k_pad=args.k_pad)
 
         def slice_shard(adj, s):
             sl = {f: getattr(adj, f)[s]

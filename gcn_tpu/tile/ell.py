@@ -121,22 +121,27 @@ class EllAdj:
     # one bf16 rounding of x (~1e-3 relative). Opt-in.
     table_bf16: bool = False
     # spans with pass count above this use the merged Pallas hub region;
-    # at or below, the fused grouped-XLA reduce. The compile/perf knob:
-    # UNLIMITED (the serving configuration,
-    # ell_adjacency(span_pass_limit=0)) is the fastest path — 6.6 ms /
-    # ~86-88% of the in-situ gather roofline on arxiv-k32 (the driver
-    # bench headline; bench.py measures the roofline in the same
-    # session, so the pct is immune to relay day-variance) — but costs
-    # >400 s to compile a training step; forward-only (inference)
-    # programs still compile in ~30 s, which is why serving should use
-    # it. The 16 default + ``hub_split`` (the round-3 default, below)
-    # keeps training-step (vjp+scan) cold compile ~85-105 s within ~2%
-    # of the serving rate. Override the default via GCN_TPU_SPAN_LIMIT.
-    # With hub_split no window exceeds the limit in the first place, so
-    # this knob only sets the split threshold and the serving/training
-    # gap closes. (A round-2 session once recorded 6.46 ms under an
-    # earlier roofline protocol; the current protocol and numbers are
-    # the bench.py capture — kept here so the figures can't drift.)
+    # at or below, the fused grouped-XLA reduce. UNLIMITED (the serving
+    # configuration, ell_adjacency(span_pass_limit=0)) is the fastest
+    # SpMM — 6.6 ms / ~86-88% of the in-situ gather roofline on
+    # arxiv-k32 (the driver bench headline; bench.py measures the
+    # roofline in the same session, so the pct is immune to relay
+    # day-variance). The 16 default + ``hub_split`` (the round-3
+    # default, below) measures within ~2% of serving on the SpMM and
+    # EQUAL on a full train step (round 5, TPU: 25.2 ms training
+    # default vs 25.9 serving-config at h=32; 12.9 vs 11.9 at h=128).
+    # Compile: a vjp+scan training step costs ~40-60 s cold in EITHER
+    # config as of round 5 — the round-2 ">400 s serving compile"
+    # predates the chunk/span evolution and no longer reproduces; the
+    # hub-split default is kept for its bounded per-window pass counts
+    # (the lockstep sharded layout and the lower compile-memory
+    # envelope), not because serving-config training is impractical.
+    # Override the default via GCN_TPU_SPAN_LIMIT. With hub_split no
+    # window exceeds the limit in the first place, so this knob only
+    # sets the split threshold. (A round-2 session once recorded
+    # 6.46 ms under an earlier roofline protocol; the current protocol
+    # and numbers are the bench.py capture — kept here so the figures
+    # can't drift.)
     span_pass_limit: int = 16
     # hub-row splitting (round 3): rows with more than
     # span_pass_limit * P slots are refined IN PLACE into near-equal
