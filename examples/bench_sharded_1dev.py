@@ -186,18 +186,28 @@ def main():
 
     # the production default: interior/boundary split (overlap=True) —
     # the interior aggregation gathers STRAIGHT from the band, no
-    # concat(halo, band) table materialization per application
-    ell_int = put(build_sharded_ell(sg, plan, part="interior",
-                                    span_pass_limit=0, k_pad=args.k_pad))
-    ell_bnd = put(build_sharded_ell(sg, plan, part="boundary",
-                                    span_pass_limit=0, k_pad=args.k_pad))
+    # concat(halo, band) table materialization per application; parts
+    # are part-degree-sorted (round 5) with the un-permute included
+    ell_int, i_t, i_b = build_sharded_ell(sg, plan, part="interior",
+                                          span_pass_limit=0,
+                                          k_pad=args.k_pad,
+                                          part_order=True)
+    ell_bnd, b_t, b_b = build_sharded_ell(sg, plan, part="boundary",
+                                          span_pass_limit=0,
+                                          k_pad=args.k_pad,
+                                          part_order=True)
+    ell_int, ell_bnd = put(ell_int), put(ell_bnd)
+    i_t, i_b, b_t, b_b = put(i_t), put(i_b), put(b_t), put(b_b)
 
     def body_overlap(dev, acc):
         return dist_spmm_halo_ell_overlap(
             unstack_ell_shard(dev[0]), unstack_ell_shard(dev[1]), dev[2],
-            acc, "data", exchange=ex_fn)
+            acc, "data", exchange=ex_fn,
+            int_unperm=(dev[3][0], dev[4][0]),
+            bnd_unperm=(dev[5][0], dev[6][0]))
 
-    t_overlap = measure(body_overlap, ell_int, ell_bnd, plan_d)
+    t_overlap = measure(body_overlap, ell_int, ell_bnd, plan_d,
+                        i_t, i_b, b_t, b_b)
     print(f"sharded (overlap split, production default): "
           f"{t_overlap*1e3:.3f} ms ({e/t_overlap/1e6:.1f} M edges/s)",
           flush=True)
@@ -236,10 +246,12 @@ def main():
             real_d = vals_d != 0
             e_int[d] = int((real_d & (remap_d >= halo_cols)).sum())
             e_bnd[d] = int((real_d & (remap_d < halo_cols)).sum())
-        adj_int = build_sharded_ell(sg_p, plan_p, part="interior",
-                                    span_pass_limit=0, k_pad=args.k_pad)
-        adj_bnd = build_sharded_ell(sg_p, plan_p, part="boundary",
-                                    span_pass_limit=0, k_pad=args.k_pad)
+        adj_int, pi_t, _pi_b = build_sharded_ell(
+            sg_p, plan_p, part="interior", span_pass_limit=0,
+            k_pad=args.k_pad, part_order=True)
+        adj_bnd, pb_t, _pb_b = build_sharded_ell(
+            sg_p, plan_p, part="boundary", span_pass_limit=0,
+            k_pad=args.k_pad, part_order=True)
 
         def slice_shard(adj, s):
             sl = {f: getattr(adj, f)[s]
@@ -256,18 +268,24 @@ def main():
         x_halo = jnp.asarray(rng_p.standard_normal(
             (halo_cols, k)).astype(np.float32) * 0.01)
 
-        def bench_rect(adj1, x1, inner=args.inner, rounds=3):
+        def bench_rect(adj1, x1, take1=None, inner=args.inner, rounds=3):
             # bench.bench_spmm with a rectangular chain: the boundary
             # part maps (halo_cols, k) -> (rps, k), so the feedback pads
             # the output back to the input height (cheap memset+copy,
-            # <2% of the part; interior is square and pads nothing)
+            # <2% of the part; interior is square and pads nothing).
+            # take1: the production un-permute gather (part_order) —
+            # included so the isolation charges the full part cost.
             pad_rows = x1.shape[0] - adj1.n_rows
+
+            def one(a, acc):
+                y = spmm_ell(a, acc)
+                if take1 is not None:
+                    y = jnp.take(y, take1, axis=0)
+                return jnp.pad(y, ((0, pad_rows), (0, 0)))
 
             run = jax.jit(lambda a, xx: jnp.sum(jax.lax.fori_loop(
                 0, inner,
-                lambda i, acc: jnp.pad(
-                    spmm_ell(a, acc), ((0, pad_rows), (0, 0))
-                ) * 0.999 + xx * 1e-6, xx)))
+                lambda i, acc: one(a, acc) * 0.999 + xx * 1e-6, xx)))
             float(run(adj1, x1 * 0.5))  # compile + warm
             best = 1e9
             for rr in range(1, rounds + 1):
@@ -281,8 +299,8 @@ def main():
 
         t_int_s, t_bnd_s = [], []
         for s in range(ns):
-            t_i = bench_rect(slice_shard(adj_int, s), x_band)
-            t_b = bench_rect(slice_shard(adj_bnd, s), x_halo)
+            t_i = bench_rect(slice_shard(adj_int, s), x_band, pi_t[s])
+            t_b = bench_rect(slice_shard(adj_bnd, s), x_halo, pb_t[s])
             t_int_s.append(t_i)
             t_bnd_s.append(t_b)
             print(f"  band {s}: interior {t_i*1e3:.3f} ms "
@@ -291,6 +309,7 @@ def main():
         sum_t = sum(t_int_s) + sum(t_bnd_s)
         rate_parts = float((e_int.sum() + e_bnd.sum()) / sum_t)
         parts = {
+            "part_order": True,
             "n_shards": ns,
             "rows_per_shard": sg_p.rows_per_shard,
             "halo_cols": int(halo_cols),

@@ -697,10 +697,37 @@ def dist_spmm_halo(shard_arrays, plan_arrays, x_band: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def unpermute_rows(y: jnp.ndarray, take_idx: jnp.ndarray,
+                   back_idx: jnp.ndarray) -> jnp.ndarray:
+    """``y[take_idx]`` with a gather-only gradient.
+
+    The per-part row sort (build_sharded_ell ``part_order``) computes the
+    part SpMM in part-degree-sorted row order; this restores band order.
+    jnp.take's autodiff gradient is a scatter-add — correct but slow on
+    TPU — so the vjp is expressed as the inverse gather instead
+    (``back_idx`` = the forward permutation, take_idx's inverse).
+    """
+    return jnp.take(y, take_idx, axis=0)
+
+
+def _unpermute_rows_fwd(y, take_idx, back_idx):
+    return jnp.take(y, take_idx, axis=0), back_idx
+
+
+def _unpermute_rows_bwd(back_idx, ct):
+    # integer index args get float0 cotangents (non-differentiable)
+    z = np.zeros(back_idx.shape, dtype=jax.dtypes.float0)
+    return jnp.take(ct, back_idx, axis=0), z, z
+
+
+unpermute_rows.defvjp(_unpermute_rows_fwd, _unpermute_rows_bwd)
+
+
 def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
                       k_pad: int = 32, products_bf16: bool = False,
                       part: str = "all", span_pass_limit: int = None,
-                      table_bf16: bool = False):
+                      table_bf16: bool = False, part_order: bool = False):
     """Per-shard EllAdj over the halo-remapped band matrices, stacked on a
     leading shard axis.
 
@@ -725,7 +752,19 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
     docs/RESULTS_r4.md). hub_split stays off: per-shard virtual row
     spaces would differ and cannot stack; band hubs keep the merged
     Pallas hub region.
+
+    ``part_order`` (parts only, round 5): sort each band's rows by PART
+    degree before tiling. The shared in-band order serves TOTAL degree,
+    so a part's per-window degree variance is large — measured
+    0.51/0.50 slot padding on 8-shard arxiv at P=1 vs 0.27/0.36
+    part-sorted (parts total 4.70M -> 3.43M slots,
+    docs/RESULTS_r5.md). Returns ``(adj, take_idx, back_idx)`` instead
+    of ``adj``: the part output is in sorted order and must be restored
+    with ``unpermute_rows(out, take_idx[d], back_idx[d])`` (the two
+    parts' outputs then add in band order).
     """
+    assert not (part_order and part == "all"), \
+        "part_order applies to interior/boundary parts"
     from gcn_tpu.graph.csr import coo_to_csr
     from gcn_tpu.tile.ell import (DEFAULT_K_PAD, DEFAULT_R, EllAdj,
                                   _MAX_REDUCE_SEGMENTS, _ell_arrays,
@@ -755,6 +794,7 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
         assert part == "boundary"
         t_cols = halo_cols
     locals_, transposes = [], []
+    takes, backs = [], []
     for d in range(ns):
         vals = np.asarray(sg.vals[d])
         remap = np.asarray(plan.col_remap[d])
@@ -767,8 +807,17 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
             cols_d = remap
         else:
             cols_d = remap
+        rows_d = np.asarray(sg.rows_local[d])[real]
+        if part_order:
+            deg = np.bincount(rows_d, minlength=rps)
+            perm = np.argsort(-deg, kind="stable").astype(np.int32)
+            rank = np.empty(rps, dtype=np.int32)
+            rank[perm] = np.arange(rps, dtype=np.int32)
+            rows_d = rank[rows_d]
+            takes.append(rank)     # out_band[old] = out_sorted[rank[old]]
+            backs.append(perm)     # ct_sorted[new] = ct_band[perm[new]]
         g_local = coo_to_csr(
-            np.asarray(sg.rows_local[d])[real],
+            rows_d,
             cols_d[real],
             vals[real], (rps, t_cols))
         locals_.append(g_local)
@@ -802,7 +851,7 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
     t_cols_s, t_vals_s, t_win_s, t_spans = layout(transposes, t_cols, pt)
 
     nw = -(-rps // r)
-    return EllAdj(
+    adj = EllAdj(
         cols=cols_s, vals=vals_s,
         # win is shard-uniform by construction; broadcast to the stacked
         # shape so shard_map in_specs see a consistent leading axis
@@ -815,6 +864,10 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
         t_chunks=((0, int(t_cols_s.shape[1]), 0, -(-t_cols // r)),),
         spans=spans, t_spans=t_spans, table_bf16=table_bf16,
         span_pass_limit=span_pass_limit)
+    if part_order:
+        return adj, jnp.asarray(np.stack(takes)), jnp.asarray(
+            np.stack(backs))
+    return adj
 
 
 def unstack_ell_shard(adj_stacked):
@@ -861,7 +914,8 @@ def dist_spmm_halo_ell(ell_shard, plan_arrays, x_band: jnp.ndarray,
 def dist_spmm_halo_ell_overlap(ell_interior, ell_boundary, plan_arrays,
                                x_band: jnp.ndarray,
                                axis_name: str = "data",
-                               exchange=None) -> jnp.ndarray:
+                               exchange=None, int_unperm=None,
+                               bnd_unperm=None) -> jnp.ndarray:
     """Overlapped variant: interior aggregation has no data dependency on
     the exchange collectives, so XLA's async-collective scheduler can run
     them behind it (the halo-overlap BASELINE.md calls for):
@@ -870,12 +924,21 @@ def dist_spmm_halo_ell_overlap(ell_interior, ell_boundary, plan_arrays,
         interior = A_int  @ x_band                # overlaps the exchange
         boundary = A_bnd  @ halo
         out      = interior + boundary
+
+    ``int_unperm``/``bnd_unperm``: (take_idx, back_idx) pairs from
+    ``build_sharded_ell(part_order=True)`` — each part computes in its
+    own part-degree-sorted row order (~27% fewer gather slots on
+    8-shard arxiv) and is restored to band order before the add.
     """
     from gcn_tpu.ops.ell_spmm import spmm_ell
 
     halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name)
     interior = spmm_ell(ell_interior, x_band)
+    if int_unperm is not None:
+        interior = unpermute_rows(interior, *int_unperm)
     boundary = spmm_ell(ell_boundary, halo)
+    if bnd_unperm is not None:
+        boundary = unpermute_rows(boundary, *bnd_unperm)
     return interior + boundary
 
 
@@ -883,7 +946,8 @@ def dist_spmm_halo_ell_overlap_xw(ell_interior, ell_boundary, plan_arrays,
                                   x_band: jnp.ndarray, w: jnp.ndarray,
                                   axis_name: str = "data",
                                   exchange=None,
-                                  chunk: int = None) -> jnp.ndarray:
+                                  chunk: int = None, int_unperm=None,
+                                  bnd_unperm=None) -> jnp.ndarray:
     """Fused ``A @ (X W)`` with a boundary-rows-first exchange.
 
     dist_spmm_halo_ell_overlap hides the exchange behind the interior
@@ -939,12 +1003,21 @@ def dist_spmm_halo_ell_overlap_xw(ell_interior, ell_boundary, plan_arrays,
     f_out = w.shape[1]
     h = jnp.dot(x_band, w, preferred_element_type=x_band.dtype)
     interior = spmm_ell(ell_interior, h)
+    if int_unperm is not None:
+        interior = unpermute_rows(interior, *int_unperm)
+
+    def bnd(halo_part):
+        out = spmm_ell(ell_boundary, halo_part)
+        if bnd_unperm is not None:
+            out = unpermute_rows(out, *bnd_unperm)
+        return out
+
     if chunk is None or f_out <= chunk:
         def pre(rows):
             return jnp.dot(rows, w, preferred_element_type=rows.dtype)
 
         halo = ex(plan_arrays, x_band, axis_name, pre=pre)
-        return interior + spmm_ell(ell_boundary, halo)
+        return interior + bnd(halo)
 
     bnd_parts = []
     for c0 in range(0, f_out, chunk):
@@ -954,5 +1027,5 @@ def dist_spmm_halo_ell_overlap_xw(ell_interior, ell_boundary, plan_arrays,
             return jnp.dot(rows, wc, preferred_element_type=rows.dtype)
 
         halo_c = ex(plan_arrays, x_band, axis_name, pre=pre_c)
-        bnd_parts.append(spmm_ell(ell_boundary, halo_c))
+        bnd_parts.append(bnd(halo_c))
     return interior + jnp.concatenate(bnd_parts, axis=1)

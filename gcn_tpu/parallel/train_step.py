@@ -238,16 +238,26 @@ def make_sharded_gcn_train_step(
         if overlap:
             from gcn_tpu.parallel.halo import dist_spmm_halo_ell_overlap_xw
 
-            ell_int = build_sharded_ell(sg, plan, part="interior",
-                                        k_pad=k_pad)
-            ell_bnd = build_sharded_ell(sg, plan, part="boundary",
-                                        k_pad=k_pad)
+            # part-degree-sorted rows per part (round 5): ~27% fewer
+            # gather slots than the shared in-band order; outputs are
+            # restored to band order by unpermute_rows inside the dist
+            # functions (gather-only, custom-vjp'd)
+            ell_int, int_take, int_back = build_sharded_ell(
+                sg, plan, part="interior", k_pad=k_pad, part_order=True)
+            ell_bnd, bnd_take, bnd_back = build_sharded_ell(
+                sg, plan, part="boundary", k_pad=k_pad, part_order=True)
+
+            def _unpack(extra_shard):
+                e_int, e_bnd, it, ib, bt, bb = extra_shard
+                return (unstack_ell_shard(e_int),
+                        unstack_ell_shard(e_bnd),
+                        (it[0], ib[0]), (bt[0], bb[0]))
 
             def band_spmm(extra_shard, plan_shard, h):
-                e_int, e_bnd = extra_shard
+                e_int, e_bnd, iu, bu = _unpack(extra_shard)
                 return dist_spmm_halo_ell_overlap(
-                    unstack_ell_shard(e_int), unstack_ell_shard(e_bnd),
-                    plan_shard, h, axis, exchange=ex_fn)
+                    e_int, e_bnd, plan_shard, h, axis, exchange=ex_fn,
+                    int_unperm=iu, bnd_unperm=bu)
 
             def band_spmm_xw(extra_shard, plan_shard, x, w):
                 # fused A @ (X W): boundary rows transform first so the
@@ -255,13 +265,13 @@ def make_sharded_gcn_train_step(
                 # f_out > exchange_chunk the exchange + boundary
                 # aggregation pipeline in k_pad-sized feature slices
                 # (halo.dist_spmm_halo_ell_overlap_xw chunk docstring)
-                e_int, e_bnd = extra_shard
+                e_int, e_bnd, iu, bu = _unpack(extra_shard)
                 return dist_spmm_halo_ell_overlap_xw(
-                    unstack_ell_shard(e_int), unstack_ell_shard(e_bnd),
-                    plan_shard, x, w, axis, exchange=ex_fn,
-                    chunk=exchange_chunk)
+                    e_int, e_bnd, plan_shard, x, w, axis, exchange=ex_fn,
+                    chunk=exchange_chunk, int_unperm=iu, bnd_unperm=bu)
 
-            extra_dev = (ell_int, ell_bnd)
+            extra_dev = (ell_int, ell_bnd, int_take, int_back,
+                         bnd_take, bnd_back)
         else:
             ell_stacked = build_sharded_ell(sg, plan, k_pad=k_pad)
 
