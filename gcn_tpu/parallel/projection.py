@@ -529,15 +529,26 @@ def measured_kernel_scales(repo_root: Optional[str] = None):
     """
     root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    p = os.path.join(root, "results", "sharded_1dev.json")
-    try:
-        with open(p) as f:
-            d = json.load(f)
-        split = float(d["production_parts"]["parts_over_plain"])
-        mono = float(d["sharded_over_plain"])
-        return (split, mono), "results/sharded_1dev.json"
-    except (OSError, ValueError, KeyError):
-        return (1.34, 1.02), "DEFAULTS (no sharded_1dev.json capture)"
+    split = mono = None
+    srcs = []
+    for name in ("sharded_1dev.json", "sharded_1dev_k128.json"):
+        p = os.path.join(root, "results", name)
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            s = float(d["production_parts"]["parts_over_plain"])
+            m = float(d["sharded_over_plain"])
+        except (OSError, ValueError, KeyError):
+            continue
+        split = s if split is None else max(split, s)
+        mono = m if mono is None else max(mono, m)
+        srcs.append(name)
+    if split is None:
+        return (1.51, 1.02), "DEFAULTS (no sharded_1dev capture)"
+    # conservative: the max over the measured k tiers (k32: 1.34/1.02,
+    # k128: 1.51/1.01 — the wide tier's P=1 window-max decay pads split
+    # parts harder)
+    return (split, mono), "max over results/" + "+".join(srcs)
 
 
 def _fullstep_phases(edges_dev, interior, rps, dcn_rows, ici_rows, *,
