@@ -106,45 +106,70 @@ def main():
     ap.add_argument("--exchange", default="halo",
                     choices=["halo", "halo_hier"])
     ap.add_argument("--seeds", type=int, nargs="*", default=[15, 16, 17])
+    ap.add_argument("--legs", nargs="*", default=None,
+                    metavar="GRAPH:EXCHANGE:HIDDEN:ITERS",
+                    help="multiple evaluation legs in one artifact "
+                         "(e.g. synth-pubmed:halo:16:60 "
+                         "synth-pubmed-hard:halo:32:100 "
+                         "synth-pubmed:halo_hier:16:60); overrides "
+                         "-g/-k/-i/--exchange")
     ap.add_argument("--out", default="results/fp8_wire_eval.json")
     args = ap.parse_args()
 
+    if args.legs:
+        legs = []
+        for spec in args.legs:
+            graph, exch, hid, iters = spec.split(":")
+            legs.append((graph, exch, int(hid), int(iters)))
+    else:
+        legs = [(args.graph, args.exchange, args.hidden, args.iters)]
+
     rows = []
-    for wire in (None, "bf16", "fp8"):
-        for seed in args.seeds:
-            t0 = time.time()
-            r = run_one(args.graph, args.hidden, args.iters, seed, wire,
-                        args.exchange, args.devices)
-            r.update({"wire": wire or "f32", "seed": seed,
-                      "wall_s": round(time.time() - t0, 1)})
-            rows.append(r)
-            print(f"{r['wire']:>4} seed {seed}: loss {r['loss_final']:.4f} "
-                  f"acc_test {r['acc_test']:.4f} ({r['wall_s']}s)")
-    by_wire = {}
-    for w in ("f32", "bf16", "fp8"):
-        accs = [r["acc_test"] for r in rows if r["wire"] == w]
-        by_wire[w] = {"acc_test_mean": float(np.mean(accs)),
-                      "acc_test_min": float(np.min(accs)),
-                      "acc_test_max": float(np.max(accs))}
-    print("\n| wire | mean acc | min..max |")
-    print("|---|---|---|")
-    for w, s in by_wire.items():
-        print(f"| {w} | {s['acc_test_mean']:.4f} "
-              f"| {s['acc_test_min']:.4f}..{s['acc_test_max']:.4f} |")
+    for graph, exch, hid, iters in legs:
+        for wire in (None, "bf16", "fp8"):
+            for seed in args.seeds:
+                t0 = time.time()
+                r = run_one(graph, hid, iters, seed, wire, exch,
+                            args.devices)
+                r.update({"graph": graph, "exchange": exch,
+                          "hidden": hid, "iters": iters,
+                          "wire": wire or "f32", "seed": seed,
+                          "wall_s": round(time.time() - t0, 1)})
+                rows.append(r)
+                print(f"{graph}/{exch} {r['wire']:>4} seed {seed}: "
+                      f"loss {r['loss_final']:.4f} "
+                      f"acc_test {r['acc_test']:.4f} ({r['wall_s']}s)",
+                      flush=True)
+    summary = {}
+    for graph, exch, hid, iters in legs:
+        leg = f"{graph}/{exch}"
+        summary[leg] = {}
+        for w in ("f32", "bf16", "fp8"):
+            accs = [r["acc_test"] for r in rows
+                    if r["wire"] == w and r["graph"] == graph
+                    and r["exchange"] == exch]
+            summary[leg][w] = {"acc_test_mean": float(np.mean(accs)),
+                               "acc_test_min": float(np.min(accs)),
+                               "acc_test_max": float(np.max(accs))}
+    print("\n| leg | wire | mean acc | min..max |")
+    print("|---|---|---|---|")
+    for leg, by_wire in summary.items():
+        for w, s in by_wire.items():
+            print(f"| {leg} | {w} | {s['acc_test_mean']:.4f} "
+                  f"| {s['acc_test_min']:.4f}..{s['acc_test_max']:.4f} |")
 
     from gcn_tpu.utils.artifacts import write_artifact
     write_artifact(
         args.out,
-        {"config": {"graph": args.graph, "hidden": args.hidden,
-                    "iters": args.iters, "devices": args.devices,
-                    "exchange": args.exchange, "seeds": args.seeds,
-                    "protocol": "full sharded training per (wire, seed) on "
-                                "the fake 8-device CPU mesh — wire numerics "
-                                "identical to a real pod, timing not "
-                                "claimed"},
-         "runs": rows, "summary": by_wire},
+        {"config": {"legs": [list(l) for l in legs],
+                    "devices": args.devices, "seeds": args.seeds,
+                    "protocol": "full sharded training per (leg, wire, "
+                                "seed) on the fake 8-device CPU mesh — "
+                                "wire numerics identical to a real pod, "
+                                "timing not claimed"},
+         "runs": rows, "summary": summary},
         harness="examples/bench_fp8_wire.py",
-        schema="fp8_wire_eval_v1")
+        schema="fp8_wire_eval_v2")
     print(f"wrote {args.out}")
 
 
