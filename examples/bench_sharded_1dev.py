@@ -217,6 +217,26 @@ def main():
           f"{t_overlap*1e3:.3f} ms ({e/t_overlap/1e6:.1f} M edges/s)",
           flush=True)
 
+    # --- pass-block partition (round 5): the overlap form at monolithic
+    # slot cost — interior-only blocks gather straight from the band,
+    # halo-touching blocks from concat(halo, band)
+    from gcn_tpu.parallel.halo import (build_sharded_ell_blocks,
+                                       dist_spmm_halo_ell_overlap_blocks)
+
+    blk_int, blk_halo = build_sharded_ell_blocks(sg, plan,
+                                                 span_pass_limit=0,
+                                                 k_pad=args.k_pad)
+    blk_int_d, blk_halo_d = put(blk_int), put(blk_halo)
+
+    def body_blocks(dev, acc):
+        return dist_spmm_halo_ell_overlap_blocks(
+            unstack_ell_shard(dev[0]), unstack_ell_shard(dev[1]), dev[2],
+            acc, "data", exchange=ex_fn)
+
+    t_blocks = measure(body_blocks, blk_int_d, blk_halo_d, plan_d)
+    print(f"sharded (pass-block partition overlap): {t_blocks*1e3:.3f} ms "
+          f"({e/t_blocks/1e6:.1f} M edges/s)", flush=True)
+
     # --- production proportions (round 5, VERDICT r4 #3) ----------------
     # At real shard counts boundary parts hold 60%+ of the edges; the
     # 1-dev overlap number above measures a degenerate boundary (0 real
@@ -302,6 +322,27 @@ def main():
             # no-op roundtrip; floor at 1 us so sums stay meaningful
             return max(best, 1e-6)
 
+        # blocks parts at production proportions: same isolation, the
+        # pass-block pair — interior gathers from the band, halo part
+        # from a concat-height table
+        b_int_p, b_halo_p = build_sharded_ell_blocks(
+            sg_p, plan_p, span_pass_limit=0, k_pad=args.k_pad)
+        x_concat = jnp.asarray(rng_p.standard_normal(
+            (halo_cols + sg_p.rows_per_shard, k)).astype(np.float32)
+            * 0.01)
+        t_bint_s, t_bhalo_s = [], []
+        for s in range(ns):
+            t_bint_s.append(bench_rect(slice_shard(b_int_p, s), x_band))
+            t_bhalo_s.append(bench_rect(slice_shard(b_halo_p, s),
+                                        x_concat))
+            print(f"  band {s} blocks: interior {t_bint_s[-1]*1e3:.3f} "
+                  f"ms, halo {t_bhalo_s[-1]*1e3:.3f} ms", flush=True)
+        sum_blocks = sum(t_bint_s) + sum(t_bhalo_s)
+        rate_blocks = float((e_int.sum() + e_bnd.sum()) / sum_blocks)
+        print(f"production-proportion BLOCKS parts: sum "
+              f"{sum_blocks*1e3:.2f} ms, {rate_blocks/1e6:.1f} M edges/s",
+              flush=True)
+
         t_int_s, t_bnd_s = [], []
         for s in range(ns):
             t_i = bench_rect(slice_shard(adj_int, s), x_band, pi_t[s])
@@ -315,6 +356,12 @@ def main():
         rate_parts = float((e_int.sum() + e_bnd.sum()) / sum_t)
         parts = {
             "part_order": True,
+            "blocks_interior_ms_per_band": [round(t * 1e3, 3)
+                                            for t in t_bint_s],
+            "blocks_halo_ms_per_band": [round(t * 1e3, 3)
+                                        for t in t_bhalo_s],
+            "blocks_sum_ms_all_bands": round(sum_blocks * 1e3, 3),
+            "blocks_parts_edges_per_s": round(rate_blocks, 1),
             "n_shards": ns,
             "rows_per_shard": sg_p.rows_per_shard,
             "halo_cols": int(halo_cols),
@@ -327,6 +374,7 @@ def main():
             "sum_ms_all_bands": round(sum_t * 1e3, 3),
             "parts_edges_per_s": round(rate_parts, 1),
             "parts_over_plain": round((e / t_plain) / rate_parts, 4),
+            "blocks_over_plain": round((e / t_plain) / rate_blocks, 4),
         }
         print(f"production-proportion parts ({ns} bands): "
               f"sum {sum_t*1e3:.2f} ms, {rate_parts/1e6:.1f} M edges/s "
@@ -342,6 +390,8 @@ def main():
         "shard_layout_plain_jit_ms": round(t_layout * 1e3, 3),
         "sharded_1dev_ms": round(t_shard * 1e3, 3),
         "sharded_overlap_ms": round(t_overlap * 1e3, 3),
+        "sharded_blocks_ms": round(t_blocks * 1e3, 3),
+        "sharded_blocks_over_plain": round(t_blocks / t_plain, 4),
         "plain_edges_per_s": round(e / t_plain, 1),
         "sharded_edges_per_s": round(e / t_shard, 1),
         "sharded_overlap_edges_per_s": round(e / t_overlap, 1),
@@ -368,8 +418,10 @@ def main():
     print(json.dumps(out))
     from gcn_tpu.utils.artifacts import write_artifact
     write_artifact(args.out, out, harness="examples/bench_sharded_1dev.py",
-                   schema="sharded_1dev_v2",
-                   allow=["sharded_over_plain", "parts_over_plain"])
+                   schema="sharded_1dev_v3",
+                   allow=["sharded_over_plain", "parts_over_plain",
+                          "blocks_over_plain",
+                          "sharded_blocks_over_plain"])
     print(f"wrote {args.out}")
 
 

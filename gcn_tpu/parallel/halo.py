@@ -870,6 +870,234 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
     return adj
 
 
+def _fit_counts(counts: np.ndarray) -> np.ndarray:
+    """Make a per-window block-count sequence span-budget-friendly:
+    identity if its runs already fit, else the nonincreasing envelope
+    (reverse cummax) laddered to the segment budget (tile/ell.py)."""
+    from gcn_tpu.tile.ell import (_MAX_REDUCE_SEGMENTS, _pass_runs,
+                                  _quantize_passes)
+
+    if (len(np.unique(counts)) <= _MAX_REDUCE_SEGMENTS
+            and _pass_runs(counts) <= _MAX_REDUCE_SEGMENTS):
+        return counts
+    mono = np.maximum.accumulate(counts[::-1])[::-1]
+    if len(np.unique(mono)) > _MAX_REDUCE_SEGMENTS:
+        mono = _quantize_passes(mono, _MAX_REDUCE_SEGMENTS)
+    return mono
+
+
+def build_sharded_ell_blocks(sg: ShardedGraph, plan: HaloPlan, *,
+                             r: int = None, k_pad: int = 32,
+                             span_pass_limit: int = None,
+                             products_bf16: bool = False,
+                             table_bf16: bool = False):
+    """Pass-BLOCK partition of the monolithic lockstep layout:
+    ``(adj_interior, adj_halo)`` whose slots UNION equals the monolithic
+    table's (round-5 design; docs/RESULTS_r5.md).
+
+    The overlap row-split (part="interior"/"boundary") pays 1.34-1.51x
+    the plain kernel: splitting each ROW's edges into two matrices
+    doubles the per-window max-degree padding. But within the monolithic
+    layout a row's columns sort ascending and halo ids precede band ids,
+    so every halo edge lives in the FIRST slots of its row; per window,
+    pass-blocks below ``ceil(max_halo_degree / P)`` are the only ones
+    touching the halo. Cutting the monolithic block sequence there
+    yields an interior-only kernel (gathers straight from x_band —
+    launchable BEFORE the exchange completes) and a halo kernel (gathers
+    from concat(halo, band)), at monolithic slot cost plus only a
+    >=1-block floor for windows absent from one side.
+
+    Both parts share the band row order (no un-permute) and the
+    lockstep shard-uniform layout. Outputs add: out = interior + halo.
+    """
+    from gcn_tpu.graph.csr import coo_to_csr
+    from gcn_tpu.tile.ell import (DEFAULT_R, EllAdj, _ell_arrays,
+                                  _guard_spans, _span_plan,
+                                  _window_passes)
+
+    ns, rps = sg.n_shards, sg.rows_per_shard
+    if r is None:
+        r = DEFAULT_R if rps >= DEFAULT_R else max(8, rps // 8 * 8)
+    p = 128 // k_pad
+    if span_pass_limit is None:
+        env = os.environ.get("GCN_TPU_SPAN_LIMIT")
+        span_pass_limit = (int(env) if env is not None
+                           else max(1, k_pad // 2))
+    if span_pass_limit <= 0:
+        span_pass_limit = 1 << 30
+    halo_cols = plan.halo_rows
+    nw = max(1, -(-rps // r))
+
+    # per-shard monolithic CSRs + per-row halo degrees
+    g_all, halo_deg = [], []
+    for d in range(ns):
+        vals = np.asarray(sg.vals[d])
+        remap = np.asarray(plan.col_remap[d])
+        real = vals != 0
+        rows_d = np.asarray(sg.rows_local[d])[real]
+        cols_d = remap[real]
+        g_all.append(coo_to_csr(rows_d, cols_d, vals[real],
+                                (rps, halo_cols + rps)))
+        halo_deg.append(np.bincount(rows_d[cols_d < halo_cols],
+                                    minlength=rps).astype(np.int64))
+
+    # lockstep totals and halo cut, shard-uniform
+    pf = _fit_counts(np.maximum.reduce(
+        [_window_passes(g.indptr, rps, r, p) for g in g_all]))
+    hb = np.zeros(nw, dtype=np.int64)
+    for d in range(ns):
+        hd = np.zeros(nw * r, dtype=np.int64)
+        hd[:rps] = halo_deg[d]
+        hb = np.maximum(hb, -(-hd.reshape(nw, r).max(axis=1) // p))
+    hb = np.minimum(hb, pf)
+    hp = _fit_counts(np.maximum(hb, 1))            # halo-part blocks
+    ip = _fit_counts(np.maximum(pf - hb, 1))       # interior-part blocks
+
+    def layout_part(which, counts, n_cols_part):
+        offs = np.zeros(nw + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        nb = int(offs[-1])
+        cols_a = np.zeros((ns, nb, p, r), dtype=np.int32)
+        vals_a = np.zeros((ns, nb, p, r), dtype=np.float32)
+        for d in range(ns):
+            g = g_all[d]
+            deg = np.diff(g.indptr).astype(np.int64)
+            e = len(g.indices)
+            rows = np.repeat(np.arange(rps, dtype=np.int64), deg)
+            j = np.arange(e, dtype=np.int64) - np.repeat(
+                g.indptr[:-1].astype(np.int64), deg)
+            w = rows // r
+            cut = hb[w] * p
+            if which == "halo":
+                m = j < cut
+                jj = j[m]
+                blk = offs[w[m]] + jj // p
+                cc = g.indices[m]
+            else:
+                m = j >= cut
+                jj = j[m] - cut[m]
+                blk = offs[w[m]] + jj // p
+                cc = g.indices[m] - halo_cols
+            cols_a[d, blk, jj % p, rows[m] - w[m] * r] = cc
+            vals_a[d, blk, jj % p, rows[m] - w[m] * r] = g.data[m]
+        win = np.repeat(np.arange(nw, dtype=np.int32),
+                        counts).astype(np.int32)
+        spans = _guard_spans(_span_plan(offs), span_pass_limit)
+        return cols_a, vals_a, win, spans, offs
+
+    def layout_transpose(which, n_rows_t):
+        # transpose CSRs per shard from the part's edge set
+        t_list = []
+        for d in range(ns):
+            g = g_all[d]
+            deg = np.diff(g.indptr).astype(np.int64)
+            e = len(g.indices)
+            rows = np.repeat(np.arange(rps, dtype=np.int64), deg)
+            j = np.arange(e, dtype=np.int64) - np.repeat(
+                g.indptr[:-1].astype(np.int64), deg)
+            cut = hb[rows // r] * p
+            if which == "halo":
+                m = j < cut
+                cc = g.indices[m]
+            else:
+                m = j >= cut
+                cc = g.indices[m] - halo_cols
+            t_list.append(coo_to_csr(cc, rows[m], g.data[m],
+                                     (n_rows_t, rps)))
+        pt = _fit_counts(np.maximum.reduce(
+            [_window_passes(t.indptr, n_rows_t, r, p) for t in t_list]))
+        cols, vals_a, wins = [], [], []
+        off = None
+        for t in t_list:
+            c, v, w_, off = _ell_arrays(t.indptr, t.indices, t.data,
+                                        n_rows_t, r, p, forced_passes=pt)
+            cols.append(c)
+            vals_a.append(v)
+            wins.append(w_)
+        spans = _guard_spans(_span_plan(off), span_pass_limit)
+        return (np.stack(cols), np.stack(vals_a), wins[0], spans, off)
+
+    adjs = []
+    for which, counts, n_cols_part in (
+            ("interior", ip, rps), ("halo", hp, halo_cols + rps)):
+        cols_a, vals_a, win, spans, offs = layout_part(
+            which, counts, n_cols_part)
+        t_cols_a, t_vals_a, t_win, t_spans, t_off = layout_transpose(
+            which, n_cols_part)
+        nnz_d = int((vals_a[0] != 0).sum())
+        adjs.append(EllAdj(
+            cols=jnp.asarray(cols_a), vals=jnp.asarray(vals_a),
+            win=jnp.broadcast_to(jnp.asarray(win),
+                                 (ns,) + win.shape),
+            t_cols=jnp.asarray(t_cols_a), t_vals=jnp.asarray(t_vals_a),
+            t_win=jnp.broadcast_to(jnp.asarray(t_win),
+                                   (ns,) + t_win.shape),
+            n_rows=rps, n_cols=n_cols_part, nnz=nnz_d, r=r,
+            k_pad=k_pad, symmetric=False, products_bf16=products_bf16,
+            chunks=((0, int(cols_a.shape[1]), 0, nw),),
+            t_chunks=((0, int(t_cols_a.shape[1]), 0,
+                       -(-n_cols_part // r)),),
+            spans=spans, t_spans=t_spans, table_bf16=table_bf16,
+            span_pass_limit=span_pass_limit))
+    return adjs[0], adjs[1]
+
+
+def dist_spmm_halo_ell_overlap_blocks(ell_int, ell_halo, plan_arrays,
+                                      x_band: jnp.ndarray,
+                                      axis_name: str = "data",
+                                      exchange=None) -> jnp.ndarray:
+    """Overlap via the pass-block partition: the interior-only kernel
+    gathers straight from the band and runs UNDER the exchange; the
+    halo kernel covers the remaining blocks of the same monolithic
+    layout over concat(halo, band). Monolithic slot cost, split-style
+    overlap."""
+    from gcn_tpu.ops.ell_spmm import spmm_ell
+
+    halo = (exchange or _exchange_halo)(plan_arrays, x_band, axis_name)
+    interior = spmm_ell(ell_int, x_band)
+    table = jnp.concatenate([halo, x_band], axis=0)
+    return interior + spmm_ell(ell_halo, table)
+
+
+def dist_spmm_halo_ell_overlap_blocks_xw(ell_int, ell_halo, plan_arrays,
+                                         x_band: jnp.ndarray,
+                                         w: jnp.ndarray,
+                                         axis_name: str = "data",
+                                         exchange=None,
+                                         chunk: int = None) -> jnp.ndarray:
+    """Fused A @ (X W) on the pass-block partition with the
+    boundary-rows-first exchange and optional k-chunk pipelining (the
+    dist_spmm_halo_ell_overlap_xw docstring's levers on the
+    monolithic-cost split)."""
+    from gcn_tpu.ops.ell_spmm import spmm_ell
+
+    ex = exchange or _exchange_halo
+    f_out = w.shape[1]
+    h = jnp.dot(x_band, w, preferred_element_type=x_band.dtype)
+    interior = spmm_ell(ell_int, h)
+    if chunk is None or f_out <= chunk:
+        def pre(rows):
+            return jnp.dot(rows, w, preferred_element_type=rows.dtype)
+
+        halo = ex(plan_arrays, x_band, axis_name, pre=pre)
+        return interior + spmm_ell(ell_halo,
+                                   jnp.concatenate([halo, h], axis=0))
+
+    parts = []
+    for c0 in range(0, f_out, chunk):
+        c1 = min(c0 + chunk, f_out)
+        wc = jax.lax.slice_in_dim(w, c0, c1, axis=1)
+
+        def pre_c(rows, wc=wc):
+            return jnp.dot(rows, wc, preferred_element_type=rows.dtype)
+
+        halo_c = ex(plan_arrays, x_band, axis_name, pre=pre_c)
+        hc = jax.lax.slice_in_dim(h, c0, c1, axis=1)
+        parts.append(spmm_ell(ell_halo,
+                              jnp.concatenate([halo_c, hc], axis=0)))
+    return interior + jnp.concatenate(parts, axis=1)
+
+
 def unstack_ell_shard(adj_stacked):
     """Inside shard_map: drop the leading (length-1) shard axis."""
     from gcn_tpu.tile.ell import EllAdj

@@ -128,7 +128,7 @@ def make_sharded_gcn_train_step(
     axis: str = "data",
     exchange: str = "halo",
     kernel: str = None,
-    overlap: bool = True,
+    overlap=True,
     model_axis: str = None,
     with_bias: bool = True,
     exchange_dtype: str = None,
@@ -141,6 +141,13 @@ def make_sharded_gcn_train_step(
     train_step(params, opt_state, rng, adj, x, labels, mask) -> (params,
     opt_state, loss); eval_fn(params, adj, x) -> log_probs (row-sharded);
     shard_fn places host arrays with the right shardings.
+
+    ``overlap``: True/"blocks" (default) = the pass-block partition of
+    the monolithic lockstep layout (interior-only blocks hide the
+    exchange at monolithic slot cost); "split" = the row-split
+    interior/boundary parts (part-degree-sorted; 1.34-1.51x kernel
+    cost, kept as the ablation baseline); False = monolithic, no
+    overlap.
 
     ``exchange_dtype="auto"`` resolves to bf16 or fp8 via
     ``projection.recommend_wire_dtype`` on this run's exact plan volumes
@@ -235,7 +242,37 @@ def make_sharded_gcn_train_step(
                                            dist_spmm_halo_ell_overlap,
                                            unstack_ell_shard)
 
-        if overlap:
+        if overlap == "blocks" or overlap is True:
+            # pass-BLOCK partition of the monolithic layout (round 5,
+            # the default): interior-only blocks gather straight from
+            # the band and run under the exchange; halo-touching blocks
+            # cover the rest over concat(halo, band). Monolithic slot
+            # cost (the row-split parts measured 1.34-1.51x the plain
+            # kernel; this partition's slots equal the monolithic
+            # table's + a per-window floor) — docs/RESULTS_r5.md.
+            from gcn_tpu.parallel.halo import (
+                build_sharded_ell_blocks,
+                dist_spmm_halo_ell_overlap_blocks,
+                dist_spmm_halo_ell_overlap_blocks_xw)
+
+            ell_int_b, ell_halo_b = build_sharded_ell_blocks(
+                sg, plan, k_pad=k_pad)
+
+            def band_spmm(extra_shard, plan_shard, h):
+                e_int, e_halo = extra_shard
+                return dist_spmm_halo_ell_overlap_blocks(
+                    unstack_ell_shard(e_int), unstack_ell_shard(e_halo),
+                    plan_shard, h, axis, exchange=ex_fn)
+
+            def band_spmm_xw(extra_shard, plan_shard, x, w):
+                e_int, e_halo = extra_shard
+                return dist_spmm_halo_ell_overlap_blocks_xw(
+                    unstack_ell_shard(e_int), unstack_ell_shard(e_halo),
+                    plan_shard, x, w, axis, exchange=ex_fn,
+                    chunk=exchange_chunk)
+
+            extra_dev = (ell_int_b, ell_halo_b)
+        elif overlap:  # "split": the row-split parts (ablation baseline)
             from gcn_tpu.parallel.halo import dist_spmm_halo_ell_overlap_xw
 
             # part-degree-sorted rows per part (round 5): ~27% fewer
