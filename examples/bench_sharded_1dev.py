@@ -50,6 +50,10 @@ def main():
                     help="ELL slot width for the sharded builds (128 = "
                          "the wide-feature single-gather-pass tier)")
     ap.add_argument("--inner", type=int, default=30)
+    ap.add_argument("--stacked-scan", action="store_true",
+                    help="also run the all-bands-in-one-jit scan "
+                         "comparison (can exceed the compile relay's "
+                         "program-size limit on big graphs)")
     ap.add_argument("--part-r", type=int, default=None,
                     help="window height for the production-proportion "
                          "part ELLs (default: build_sharded_ell's; "
@@ -352,6 +356,58 @@ def main():
             print(f"  band {s}: interior {t_i*1e3:.3f} ms "
                   f"({e_int[s]} edges), boundary {t_b*1e3:.3f} ms "
                   f"({e_bnd[s]} edges)", flush=True)
+        # --- stacked-scan (opt-in, --stacked-scan): all ns bands cycle
+        # inside ONE jit — the production-faithful per-device residency
+        # pattern. lax.scan slices the stacked EllAdj pytrees per band
+        # (meta fields static). CAVEAT: the blocks form's scan program
+        # exceeded the compile relay's request-size limit (HTTP 413) on
+        # arxiv — usable on smaller graphs / bigger relays only.
+        halo_x = jnp.asarray(rng_p.standard_normal(
+            (ns, halo_cols, k)).astype(np.float32) * 0.01)
+
+        adj_mono = build_sharded_ell(sg_p, plan_p, span_pass_limit=0,
+                                     k_pad=args.k_pad)
+
+        def bench_scan(step_fn, adjs, inner=args.inner, rounds=3):
+            def one_iter(acc0):
+                def body(acc, xs):
+                    y = step_fn(xs, acc)
+                    return y * 0.999 + acc * 1e-6, 0.0
+                acc, _ = jax.lax.scan(body, acc0, adjs)
+                return acc
+
+            run = jax.jit(lambda a_, xx: jnp.sum(jax.lax.fori_loop(
+                0, inner, lambda i, acc: one_iter(acc) * 0.999
+                + xx * 1e-6, xx)))
+            float(run(adjs, x_band * 0.5))
+            best = 1e9
+            for rr in range(1, rounds + 1):
+                t0 = time.perf_counter()
+                float(run(adjs, x_band * (1 + rr * 1e-3)))
+                best = min(best,
+                           (time.perf_counter() - t0 - overhead) / inner)
+            return max(best, 1e-6)
+
+        def mono_step(xs, acc):
+            adj_s, hx = xs
+            return spmm_ell(adj_s, jnp.concatenate([hx, acc], axis=0))
+
+        def blocks_step(xs, acc):
+            ai, ah, hx = xs
+            return (spmm_ell(ai, acc)
+                    + spmm_ell(ah, jnp.concatenate([hx, acc], axis=0)))
+
+        t_scan_mono = t_scan_blocks = -1.0
+        if args.stacked_scan:
+            t_scan_mono = bench_scan(mono_step, (adj_mono, halo_x))
+            t_scan_blocks = bench_scan(blocks_step,
+                                       (b_int_p, b_halo_p, halo_x))
+            print(f"stacked-scan ({ns} bands, one jit): mono "
+                  f"{t_scan_mono*1e3:.3f} ms, blocks "
+                  f"{t_scan_blocks*1e3:.3f} ms "
+                  f"(per-device {t_scan_mono/ns*1e3:.3f} / "
+                  f"{t_scan_blocks/ns*1e3:.3f})", flush=True)
+
         sum_t = sum(t_int_s) + sum(t_bnd_s)
         rate_parts = float((e_int.sum() + e_bnd.sum()) / sum_t)
         parts = {
@@ -362,6 +418,11 @@ def main():
                                         for t in t_bhalo_s],
             "blocks_sum_ms_all_bands": round(sum_blocks * 1e3, 3),
             "blocks_parts_edges_per_s": round(rate_blocks, 1),
+            **({"scan_mono_ms": round(t_scan_mono * 1e3, 3),
+                "scan_blocks_ms": round(t_scan_blocks * 1e3, 3),
+                "scan_blocks_over_mono": round(t_scan_blocks
+                                               / t_scan_mono, 4)}
+               if t_scan_mono > 0 else {}),
             "n_shards": ns,
             "rows_per_shard": sg_p.rows_per_shard,
             "halo_cols": int(halo_cols),
@@ -421,7 +482,8 @@ def main():
                    schema="sharded_1dev_v3",
                    allow=["sharded_over_plain", "parts_over_plain",
                           "blocks_over_plain",
-                          "sharded_blocks_over_plain"])
+                          "sharded_blocks_over_plain",
+                          "scan_blocks_over_mono"])
     print(f"wrote {args.out}")
 
 

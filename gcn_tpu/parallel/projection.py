@@ -516,39 +516,37 @@ def lockstep_vs_matched_dcn(needed, d, n_hosts, n_chips):
                 rank_bound=rank_bound, mean=mean)
 
 
-def measured_kernel_scales(repo_root: Optional[str] = None):
+def measured_kernel_scales(repo_root: Optional[str] = None,
+                           wide: bool = False):
     """((split_scale, mono_scale), source) — the sharded kernels' cost
-    relative to the plain kernel, from the newest production-proportion
-    isolation (results/sharded_1dev.json, examples/bench_sharded_1dev).
+    relative to the plain kernel, from the production-proportion
+    isolations (results/sharded_1dev*.json, examples/bench_sharded_1dev,
+    pass-block partition = the shipped overlap form).
 
-    Round-5 measurement (8-shard arxiv, part-degree-sorted parts): the
-    overlap split's interior+boundary parts cost 1.34x the plain kernel
-    per edge (slot inflation from per-part window variance + lockstep +
-    >=1-pass floors), while the monolithic sharded table runs at 1.02x.
+    Round-5 measurements (8-shard arxiv): the overlap kernels cost
+    1.35x plain at the k_pad=32 tier and 1.07x at the k_pad=128 tier
+    (the pass-block partition approaches monolithic slot cost where
+    P=1); the monolithic table runs at 1.01-1.02x everywhere. ``wide``
+    selects the k_pad=128 capture — the tier a realistic-width
+    (nhid>=65) training step actually runs — else the k_pad=32 one.
     The round-4 projection charged BOTH forms the plain rate.
     """
     root = repo_root or os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    split = mono = None
-    srcs = []
-    for name in ("sharded_1dev.json", "sharded_1dev_k128.json"):
-        p = os.path.join(root, "results", name)
-        try:
-            with open(p) as f:
-                d = json.load(f)
-            s = float(d["production_parts"]["parts_over_plain"])
-            m = float(d["sharded_over_plain"])
-        except (OSError, ValueError, KeyError):
-            continue
-        split = s if split is None else max(split, s)
-        mono = m if mono is None else max(mono, m)
-        srcs.append(name)
-    if split is None:
-        return (1.51, 1.02), "DEFAULTS (no sharded_1dev capture)"
-    # conservative: the max over the measured k tiers (k32: 1.34/1.02,
-    # k128: 1.51/1.01 — the wide tier's P=1 window-max decay pads split
-    # parts harder)
-    return (split, mono), "max over results/" + "+".join(srcs)
+    name = "sharded_1dev_k128.json" if wide else "sharded_1dev.json"
+    p = os.path.join(root, "results", name)
+    try:
+        with open(p) as f:
+            d = json.load(f)
+        pp = d["production_parts"]
+        # the shipped overlap default is the pass-block partition;
+        # fall back to the row-split scale on older captures
+        s = float(pp.get("blocks_over_plain", pp["parts_over_plain"]))
+        m = float(d["sharded_over_plain"])
+        return (s, m), "results/" + name
+    except (OSError, ValueError, KeyError):
+        return ((1.08, 1.01) if wide else (1.36, 1.03)), \
+            f"DEFAULTS (no {name} capture)"
 
 
 def _fullstep_phases(edges_dev, interior, rps, dcn_rows, ici_rows, *,
@@ -627,7 +625,7 @@ def recommend_wire_dtype(sg, plan, *, widths=None,
     interior = float((real & own).sum() / max(int(real.sum()), 1))
     dcn_rows = int(sum(plan.inter_sizes))
     ici_rows = int(sum(plan.intra_sizes)) + int(plan.ici_gather_rows)
-    scales, _scales_src = measured_kernel_scales()
+    scales, _scales_src = measured_kernel_scales(wide=nhid > 64)
     effs = {}
     for name, bpe in (("bf16", 2), ("fp8", 1)):
         phases, t_base = _fullstep_phases(
@@ -743,7 +741,8 @@ def project_weak_scaling_fullstep(
     else:
         rate, rate_src = float(spmm_edges_per_s), "caller"
     if kernel_scales is None:
-        (split_scale, mono_scale), scales_src = measured_kernel_scales()
+        (split_scale, mono_scale), scales_src = measured_kernel_scales(
+            wide=nhid > 64)
     else:
         (split_scale, mono_scale), scales_src = kernel_scales, "caller"
 
