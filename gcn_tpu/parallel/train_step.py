@@ -37,8 +37,11 @@ Knobs:
                          the DCN-byte-bound pod-scale regime
                          (docs/RESULTS_r4.md measures the accuracy
                          impact)
-  overlap=True           interior/boundary split so local work overlaps
-                         the exchange — the default. Whenever no
+  overlap=True           pass-block partition of the monolithic layout
+                         (round 5): interior-only blocks aggregate
+                         UNDER the exchange at monolithic slot cost —
+                         the default. overlap="split" keeps the
+                         row-split parts as the ablation. Whenever no
                          tensor-parallel model axis is in play (the 1-D
                          data mesh AND the hierarchical host x chip
                          mesh) this is the FUSED boundary-rows-first form

@@ -1104,3 +1104,58 @@ def test_lockstep_vs_matched_dcn_bounds(rng):
     assert r["rank_bound"] <= r["matched"]
     assert r["matched"] <= r["lockstep"] * 1.001 + 8 * (nh - 1)
     assert r["lockstep"] > 0
+
+
+def test_blocks_partition_matches_dense(rng):
+    """build_sharded_ell_blocks: the pass-block partition's two kernels
+    (interior-only over the band + halo-touching over concat(halo,
+    band)) must sum to the exact SpMM, at monolithic-layout slot cost
+    (round 5 — the shipped overlap form)."""
+    from gcn_tpu.data.synthetic import powerlaw_sbm
+    from gcn_tpu.graph.normalize import gcn_normalize
+    from gcn_tpu.ops.ell_spmm import spmm_ell
+    from gcn_tpu.parallel import band_degree_sort_order, shard_graph_by_rows
+    from gcn_tpu.parallel.halo import (build_halo_plan_ragged,
+                                       build_sharded_ell_blocks,
+                                       unstack_ell_shard)
+
+    adj, _ = powerlaw_sbm(n=1024, n_classes=8, avg_degree=12, seed=3)
+    g = gcn_normalize(adj)
+    ns = 4
+    sg0 = shard_graph_by_rows(g, ns)
+    g = g.permute(band_degree_sort_order(g, sg0.rows_per_shard))
+    sg = shard_graph_by_rows(g, ns)
+    plan = build_halo_plan_ragged(sg)
+    dense = g.to_dense().astype(np.float64)
+    for kp in (32, 128):
+        a_int, a_halo = build_sharded_ell_blocks(sg, plan, k_pad=kp,
+                                                 r=32)
+        rps, halo_cols = sg.rows_per_shard, plan.halo_rows
+        k = 40
+        x = rng.standard_normal((g.shape[0], k)).astype(np.float32)
+        outs = []
+        for d in range(ns):
+            def sl(adj_s, dd=d):
+                return unstack_ell_shard(jax.tree_util.tree_map(
+                    lambda a: a[dd:dd + 1]
+                    if hasattr(a, "ndim") and a.ndim
+                    and a.shape[0] == ns else a, adj_s))
+            ai, ah = sl(a_int), sl(a_halo)
+            if d == 0:
+                ai.validate()
+                ah.validate()
+            n0, n1 = d * rps, min((d + 1) * rps, g.shape[0])
+            x_band = np.zeros((rps, k), np.float32)
+            x_band[:n1 - n0] = x[n0:n1]
+            table = np.zeros((halo_cols + rps, k), np.float32)
+            table[halo_cols:] = x_band
+            remap = np.asarray(plan.col_remap[d]).reshape(-1)
+            vals_d = np.asarray(sg.vals[d]).reshape(-1)
+            cols_g = np.asarray(sg.cols[d]).reshape(-1)
+            hm = (vals_d != 0) & (remap < halo_cols)
+            table[remap[hm]] = x[cols_g[hm]]
+            outs.append(np.asarray(spmm_ell(ai, jnp.asarray(x_band)))
+                        + np.asarray(spmm_ell(ah, jnp.asarray(table))))
+        got = np.concatenate(outs)[:g.shape[0]]
+        np.testing.assert_allclose(got, dense @ x.astype(np.float64),
+                                   rtol=1e-4, atol=1e-4)
