@@ -334,17 +334,49 @@ def main():
         x_concat = jnp.asarray(rng_p.standard_normal(
             (halo_cols + sg_p.rows_per_shard, k)).astype(np.float32)
             * 0.01)
+        # composite per-band program: EXACTLY the production blocks form
+        # minus the exchange — one jit per band (interior + concat +
+        # halo part + add fused as in dist_spmm_halo_ell_overlap_blocks),
+        # so no per-part dispatch overhead inflates the sum. The halo
+        # region of the table is fixed random, the band region chains.
+        def bench_blocks_band(ai, ah, hx, inner=args.inner, rounds=3):
+            def one(a2, acc):
+                aii, ahh = a2
+                table = jnp.concatenate([hx, acc], axis=0)
+                return spmm_ell(aii, acc) + spmm_ell(ahh, table)
+
+            run = jax.jit(lambda a2, xx: jnp.sum(jax.lax.fori_loop(
+                0, inner,
+                lambda i, acc: one(a2, acc) * 0.999 + xx * 1e-6, xx)))
+            float(run((ai, ah), x_band * 0.5))
+            best = 1e9
+            for rr in range(1, rounds + 1):
+                t0 = time.perf_counter()
+                float(run((ai, ah), x_band * (1 + rr * 1e-3)))
+                best = min(best,
+                           (time.perf_counter() - t0 - overhead) / inner)
+            return max(best, 1e-6)
+
+        hx_fix = jnp.asarray(rng_p.standard_normal(
+            (halo_cols, k)).astype(np.float32) * 0.01)
+        t_blocks_band = []
         t_bint_s, t_bhalo_s = [], []
         for s in range(ns):
+            t_blocks_band.append(bench_blocks_band(
+                slice_shard(b_int_p, s), slice_shard(b_halo_p, s),
+                hx_fix))
             t_bint_s.append(bench_rect(slice_shard(b_int_p, s), x_band))
             t_bhalo_s.append(bench_rect(slice_shard(b_halo_p, s),
                                         x_concat))
-            print(f"  band {s} blocks: interior {t_bint_s[-1]*1e3:.3f} "
-                  f"ms, halo {t_bhalo_s[-1]*1e3:.3f} ms", flush=True)
-        sum_blocks = sum(t_bint_s) + sum(t_bhalo_s)
+            print(f"  band {s} blocks: composite "
+                  f"{t_blocks_band[-1]*1e3:.3f} ms (interior "
+                  f"{t_bint_s[-1]*1e3:.3f} + halo "
+                  f"{t_bhalo_s[-1]*1e3:.3f})", flush=True)
+        sum_blocks = sum(t_blocks_band)
         rate_blocks = float((e_int.sum() + e_bnd.sum()) / sum_blocks)
-        print(f"production-proportion BLOCKS parts: sum "
-              f"{sum_blocks*1e3:.2f} ms, {rate_blocks/1e6:.1f} M edges/s",
+        print(f"production-proportion BLOCKS composite: sum "
+              f"{sum_blocks*1e3:.2f} ms, {rate_blocks/1e6:.1f} M edges/s "
+              f"(per-part sum {sum(t_bint_s+t_bhalo_s)*1e3:.2f})",
               flush=True)
 
         t_int_s, t_bnd_s = [], []
@@ -410,12 +442,24 @@ def main():
 
         sum_t = sum(t_int_s) + sum(t_bnd_s)
         rate_parts = float((e_int.sum() + e_bnd.sum()) / sum_t)
+        # re-measure the plain reference AFTER the parts sweep: the
+        # relay's session drift (~15% across sessions, also within long
+        # ones) otherwise leaks into the over-plain ratios; ratio
+        # against the best plain observation bracketing the sweep
+        t_plain2 = bench.bench_spmm(lambda a, xx: spmm_ell(a, xx),
+                                    adj_ell, x0, overhead,
+                                    inner=args.inner)
+        t_plain_ref = min(t_plain, t_plain2)
+        print(f"plain re-measure after parts: {t_plain2*1e3:.3f} ms "
+              f"(ratios use min={t_plain_ref*1e3:.3f})", flush=True)
         parts = {
             "part_order": True,
             "blocks_interior_ms_per_band": [round(t * 1e3, 3)
                                             for t in t_bint_s],
             "blocks_halo_ms_per_band": [round(t * 1e3, 3)
                                         for t in t_bhalo_s],
+            "blocks_composite_ms_per_band": [round(t * 1e3, 3)
+                                             for t in t_blocks_band],
             "blocks_sum_ms_all_bands": round(sum_blocks * 1e3, 3),
             "blocks_parts_edges_per_s": round(rate_blocks, 1),
             **({"scan_mono_ms": round(t_scan_mono * 1e3, 3),
@@ -434,8 +478,10 @@ def main():
             "boundary_ms_per_band": [round(t * 1e3, 3) for t in t_bnd_s],
             "sum_ms_all_bands": round(sum_t * 1e3, 3),
             "parts_edges_per_s": round(rate_parts, 1),
-            "parts_over_plain": round((e / t_plain) / rate_parts, 4),
-            "blocks_over_plain": round((e / t_plain) / rate_blocks, 4),
+            "plain_remeasure_ms": round(t_plain2 * 1e3, 3),
+            "parts_over_plain": round((e / t_plain_ref) / rate_parts, 4),
+            "blocks_over_plain": round((e / t_plain_ref)
+                                       / rate_blocks, 4),
         }
         print(f"production-proportion parts ({ns} bands): "
               f"sum {sum_t*1e3:.2f} ms, {rate_parts/1e6:.1f} M edges/s "

@@ -870,19 +870,29 @@ def build_sharded_ell(sg: ShardedGraph, plan: HaloPlan, *, r: int = None,
     return adj
 
 
-def _fit_counts(counts: np.ndarray) -> np.ndarray:
+def _fit_counts(counts: np.ndarray, budget: int = None) -> np.ndarray:
     """Make a per-window block-count sequence span-budget-friendly:
     identity if its runs already fit, else the nonincreasing envelope
-    (reverse cummax) laddered to the segment budget (tile/ell.py)."""
+    (reverse cummax) laddered to the segment budget (tile/ell.py).
+
+    ``budget`` tightens the default 48-segment ladder. Measured (round
+    5, k128 arxiv isolation, same session): budget 16 (+4% slots,
+    71 -> 30 segments) runs within noise of budget 48 (1.221 vs 1.234x
+    plain) — segment-count overhead is NOT the partition's residual
+    cost, so the default stays the least-padded 48. (Cross-session
+    relay drift on this multi-jit isolation is ~15%; ratios are only
+    comparable within a session.)
+    """
     from gcn_tpu.tile.ell import (_MAX_REDUCE_SEGMENTS, _pass_runs,
                                   _quantize_passes)
 
-    if (len(np.unique(counts)) <= _MAX_REDUCE_SEGMENTS
-            and _pass_runs(counts) <= _MAX_REDUCE_SEGMENTS):
+    budget = budget or _MAX_REDUCE_SEGMENTS
+    if (len(np.unique(counts)) <= budget
+            and _pass_runs(counts) <= budget):
         return counts
     mono = np.maximum.accumulate(counts[::-1])[::-1]
-    if len(np.unique(mono)) > _MAX_REDUCE_SEGMENTS:
-        mono = _quantize_passes(mono, _MAX_REDUCE_SEGMENTS)
+    if len(np.unique(mono)) > budget:
+        mono = _quantize_passes(mono, budget)
     return mono
 
 
@@ -890,7 +900,8 @@ def build_sharded_ell_blocks(sg: ShardedGraph, plan: HaloPlan, *,
                              r: int = None, k_pad: int = 32,
                              span_pass_limit: int = None,
                              products_bf16: bool = False,
-                             table_bf16: bool = False):
+                             table_bf16: bool = False,
+                             part_segment_budget: int = None):
     """Pass-BLOCK partition of the monolithic lockstep layout:
     ``(adj_interior, adj_halo)`` whose slots UNION equals the monolithic
     table's (round-5 design; docs/RESULTS_r5.md).
@@ -950,8 +961,10 @@ def build_sharded_ell_blocks(sg: ShardedGraph, plan: HaloPlan, *,
         hd[:rps] = halo_deg[d]
         hb = np.maximum(hb, -(-hd.reshape(nw, r).max(axis=1) // p))
     hb = np.minimum(hb, pf)
-    hp = _fit_counts(np.maximum(hb, 1))            # halo-part blocks
-    ip = _fit_counts(np.maximum(pf - hb, 1))       # interior-part blocks
+    hp = _fit_counts(np.maximum(hb, 1),
+                     part_segment_budget)          # halo-part blocks
+    ip = _fit_counts(np.maximum(pf - hb, 1),
+                     part_segment_budget)          # interior-part blocks
 
     def layout_part(which, counts, n_cols_part):
         offs = np.zeros(nw + 1, dtype=np.int64)
